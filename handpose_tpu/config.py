@@ -1,0 +1,177 @@
+"""Immutable experiment configuration.
+
+TPU-native replacement for the reference's mutable module-global config
+(reference: config/config.py:1-130).  Differences by design:
+
+* frozen dataclass -- no runtime mutation; cross-layer signals that the
+  reference passed by mutating globals (``is_inference``,
+  ``joint_order_switched``, ``model_name`` derived from checkpoint paths;
+  see reference trainval.py:41, inference.py:38, dataloaderRHD.py:528) are
+  explicit fields / function arguments here.
+* serialisable to JSON into the run directory for provenance (the reference
+  copied config.py into the run dir, trainval.py:231).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+MODEL_NAMES = (
+    "TwoDimHandPose",
+    "TwoDimHandPoseWithFK",
+    "ThreeDimHandPose",
+    "OnlyThreeDimHandPose",
+    "DiffusionHandPose",
+    "MANO3DHandPose",
+    "ThreeHandShapeAndPoseMANO",
+    "Resnet50MANO3DHandPose",
+    "Hand3DPoseNet",
+    "Hand3DPosePriorNetwork",
+)
+
+# Loss-term gating per model (reference trainval.py:76-112).  Keys:
+# xyz, uv, diffusion, hand_mask, regularization, contrastive.
+LOSS_GATES = {
+    "TwoDimHandPose": dict(uv=True),
+    "TwoDimHandPoseWithFK": dict(xyz=True, uv=True),
+    "DiffusionHandPose": dict(xyz=True, diffusion=True),
+    "ThreeDimHandPose": dict(xyz=True),
+    "OnlyThreeDimHandPose": dict(xyz=True),
+    "MANO3DHandPose": dict(xyz=True),
+    "ThreeHandShapeAndPoseMANO": dict(xyz=True),
+    "Resnet50MANO3DHandPose": dict(xyz=True, hand_mask=True, regularization=True),
+    # Trainer-B models (reference trainval_hand3DPose.py:284-288): masked xyz
+    # L2 on the relative-normalised coords + rotation-matrix MSE.
+    "Hand3DPoseNet": dict(xyz=True, rot=True),
+    "Hand3DPosePriorNetwork": dict(xyz=True, rot=True),
+}
+
+
+@dataclass(frozen=True)
+class Config:
+    # -- dataset (reference config.py:3-9) --
+    dataset_root_dir: str = "/data/RHD"
+    dataset_name: str = "RHD"  # 'RHD' | 'InterHand2.6M' | 'synthetic'
+
+    # -- dataloader (reference config.py:11-27) --
+    shuffle: bool = True
+    num_workers: int = 8           # host-side decode threads
+    use_wrist_coord: bool = True
+    sigma: float = 25.0
+    hand_crop: bool = True
+    random_crop_to_size: bool = False
+    scale_to_size: bool = False
+    hue_aug: bool = False
+    coord_uv_noise: bool = False
+    crop_center_noise: bool = False
+    crop_scale_noise: bool = False
+    crop_offset_noise: bool = False
+    scoremap_dropout: bool = False
+    calculate_scoremap: bool = True
+    use_val_dataset_to_debug: bool = False
+
+    # -- network (reference config.py:31-52) --
+    model_name: str = "Hand3DPosePriorNetwork"
+    input_channels: int = 24       # 3 | 21 | 24
+    keypoint_num: int = 21
+    resnet_out_feature_dim: int = 1024
+    compute_uv_loss: bool = False
+
+    # -- diffusion (reference config.py:55-61) --
+    condition_feat_dim: int = 256
+    num_timesteps: int = 400
+    num_sampling_timesteps: int = 200
+    keypoint_feat_ch: int = 1
+    bone_length_num: int = 20
+    other_joint_angles_num: int = 23
+    # TPU addition: whether DiffusionHandPose runs the (expensive) DDIM
+    # sampling loop on every *training* forward like the reference does
+    # (reference DiffusionHandPose.py:43 + conditionalDiffusion.py:674-709).
+    # Capability parity is kept (sampling is always available); making it
+    # optional per-step is the performance fix SURVEY.md 3.3 calls for.
+    diffusion_sample_in_train: bool = False
+
+    # -- MANO (reference config.py:64-68) --
+    mano_right_hand_path: str = ""  # resolved by handpose_tpu.nn.mano.find_mano_pkl
+    mano_pose_num: int = 10         # 6 | 10 | 45
+    mano_beta_num: int = 10
+    joint_order_switched: bool = True
+
+    # -- ThreeHandShapeAndPose (reference config.py:70-71) --
+    network_regress_uv: bool = False
+
+    # -- training (reference config.py:75-101) --
+    save_log_dir: str = "logs"
+    max_epoch: int = 60
+    finetune: bool = False
+    batch_size: int = 200
+    uv_from_xd: float = 3.0        # 2 | 2.5 | 3 (reference config.py:81)
+    resume_weight_path: str | None = None
+    use_fake_data: bool = False
+    fast_trainval: bool = True
+    lr: float = 1e-4
+    lr_min: float = 1e-5
+    seed: int = 0
+
+    # -- input/output geometry (reference config.py:106-112) --
+    image_size: Tuple[int, int] = (320, 320)   # RHD raw size
+    input_img_shape: Tuple[int, int] = (256, 256)
+    output_hm_shape: Tuple[int, int, int] = (64, 64, 64)
+    bbox_3d_size: float = 400.0
+    bbox_3d_size_root: float = 400.0
+    output_root_hm_shape: int = 64
+
+    # -- InterHand schedule (reference config.py:119-130) --
+    end_epoch: int = 20
+    train_batch_size: int = 200
+    val_batch_size: int = 200
+    test_batch_size: int = 20
+    trans_test: str = "rootnet"    # 'gt' | 'rootnet'
+
+    # -- inference (reference config.py:88-101) --
+    infer_batch_size: int = 100
+    infer_resume_weight_path: str | None = None
+
+    # -- TPU-specific --
+    compute_dtype: str = "bfloat16"   # matmul/conv compute dtype
+    param_dtype: str = "float32"
+    mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel axis; -1 = all devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    prefetch_depth: int = 2
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def crop_size(self) -> int:
+        return self.input_img_shape[0]
+
+    @property
+    def loss_gates(self) -> dict:
+        gates = dict(xyz=False, uv=False, diffusion=False, hand_mask=False,
+                     regularization=False, contrastive=False, rot=False)
+        gates.update(LOSS_GATES[self.model_name])
+        return gates
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        raw = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+
+DEFAULT_CONFIG = Config()

@@ -1,0 +1,122 @@
+"""Golden parity tests for the geometry op library vs the torch reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handpose_tpu import ops
+
+
+def test_canonical_trafo(fixtures):
+    f = fixtures("canonical")
+    normed, rot = jax.jit(ops.canonical_trafo)(jnp.asarray(f["coords"]))
+    np.testing.assert_allclose(normed, f["normed"], atol=2e-5)
+    np.testing.assert_allclose(rot, f["rot"], atol=2e-5)
+
+
+def test_flip_right_hand(fixtures):
+    f = fixtures("canonical")
+    flipped = ops.flip_right_hand(jnp.asarray(f["normed"]),
+                                  jnp.asarray(f["cond"]))
+    np.testing.assert_allclose(flipped, f["flipped"], atol=1e-6)
+
+
+def test_bone_rel_trafo(fixtures):
+    f = fixtures("bone_rel")
+    rel = jax.jit(ops.bone_rel_trafo)(jnp.asarray(f["coords"]))
+    np.testing.assert_allclose(rel, f["rel"], atol=3e-5)
+
+
+def test_bone_rel_trafo_inv(fixtures):
+    f = fixtures("bone_rel")
+    back = jax.jit(ops.bone_rel_trafo_inv)(jnp.asarray(f["rel"]))
+    np.testing.assert_allclose(back, f["back"], atol=3e-5)
+
+
+def test_bone_rel_roundtrip(fixtures):
+    f = fixtures("bone_rel")
+    rel = ops.bone_rel_trafo(jnp.asarray(f["coords"]))
+    back = ops.bone_rel_trafo_inv(rel)
+    # the reference round-trip reproduces the input coords; so must ours
+    np.testing.assert_allclose(back, f["coords"], atol=2e-4)
+
+
+def test_batch_projection(fixtures):
+    f = fixtures("projection")
+    uv = jax.jit(ops.batch_project_xyz_to_uv)(jnp.asarray(f["xyz"]),
+                                              jnp.asarray(f["K"]))
+    np.testing.assert_allclose(uv, f["uv"], rtol=1e-5, atol=1e-3)
+
+
+def test_single_projection(fixtures):
+    f = fixtures("projection")
+    uv = ops.camera_xyz_to_uv(jnp.asarray(f["xyz"][0]), jnp.asarray(f["K"][0]))
+    np.testing.assert_allclose(uv, f["uv_single"], rtol=1e-5, atol=1e-3)
+
+
+def test_axis_angle_rot_mat(fixtures):
+    f = fixtures("rotations")
+    R = jax.jit(ops.axis_angle_rot_mat)(jnp.asarray(f["u"]))
+    np.testing.assert_allclose(R, f["R_aa"], atol=2e-6)
+
+
+def test_euler_rot_mat(fixtures):
+    f = fixtures("rotations")
+    R = jax.jit(ops.euler_xyz_rot_mat)(jnp.asarray(f["angles"]))
+    np.testing.assert_allclose(R, f["R_euler"], atol=2e-6)
+
+
+def test_rodrigues_orthonormal():
+    r = jnp.asarray(np.random.default_rng(0).normal(size=(32, 3)) * 2)
+    R = ops.rodrigues(r)
+    eye = jnp.broadcast_to(jnp.eye(3), R.shape)
+    np.testing.assert_allclose(R @ jnp.swapaxes(R, -1, -2), eye, atol=1e-5)
+    # small-angle branch
+    R0 = ops.rodrigues(jnp.zeros((2, 3)))
+    np.testing.assert_allclose(R0, jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+                               atol=1e-7)
+
+
+def test_scoremap(fixtures):
+    f = fixtures("scoremap")
+    maps = jax.jit(lambda c, v: ops.render_gaussian_maps(
+        c, (256, 256), 25.0, v))(jnp.asarray(f["coords_hw"]),
+                                 jnp.asarray(f["vis"]))
+    np.testing.assert_allclose(maps, f["maps"], atol=1e-5)
+
+
+def test_crop_params_and_resize(fixtures):
+    f = fixtures("crop")
+    uv = jnp.asarray(f["kp_uv"])
+    vis = jnp.asarray(f["kp_vis"])
+    params = ops.compute_crop_params(uv, vis, (320, 320), 256)
+    np.testing.assert_array_equal(np.stack([params.y1, params.x1], 1),
+                                  f["y1x1"])
+    np.testing.assert_array_equal(np.stack([params.len_y, params.len_x], 1),
+                                  f["lens"])
+    crops = jax.jit(lambda im, p: ops.crop_resize_bilinear(im, p, 256))(
+        jnp.asarray(f["img"]), params)
+    np.testing.assert_allclose(crops, f["crops"], atol=1e-5)
+    uvs = ops.crop_uv(uv, params)
+    np.testing.assert_allclose(uvs, f["uvs"], rtol=1e-5, atol=1e-3)
+    K_new = ops.crop_intrinsics(jnp.asarray(f["K"]), params)
+    np.testing.assert_allclose(K_new, f["K_new"], rtol=1e-5, atol=1e-3)
+
+
+def test_rel_normed_roundtrip():
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.normal(size=(4, 21, 3)).astype(np.float32))
+    rel, scale, root = ops.absolute_to_rel_normed(xyz)
+    back = ops.rel_normed_to_absolute(rel, scale, root)
+    np.testing.assert_allclose(back, xyz, atol=1e-5)
+
+
+def test_camera_conversions_roundtrip():
+    rng = np.random.default_rng(2)
+    cam = jnp.asarray(rng.uniform(0.3, 1.0, size=(2, 21, 3)).astype(np.float32))
+    focal = jnp.asarray([[600.0, 600.0], [500.0, 550.0]])
+    princ = jnp.asarray([[300.0, 300.0], [320.0, 310.0]])
+    pix = ops.cam2pixel(cam, focal, princ)
+    back = ops.pixel2cam(pix, focal, princ)
+    np.testing.assert_allclose(back, cam, rtol=1e-5, atol=1e-5)
