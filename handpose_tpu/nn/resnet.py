@@ -1,0 +1,205 @@
+"""Flax ResNet backbones (NHWC, bf16-friendly).
+
+TPU-native equivalents of the reference's torchvision-based extractors:
+
+* :class:`ResNet`             -- resnet18/50 trunk with the reference's
+  conv1 swap (k=3, s=2, arbitrary input channels; reference
+  resNetFeatureExtractor.py:10-26, PoseViewPointNetwork.py:18-33,
+  resnet50MANO.py:20-35) and a 1000-d fc head like torchvision.
+* :class:`ResNetFeatureExtractor` -- trunk + projection fc to ``feat_dim``
+  (reference resNetFeatureExtractor.py:10-26).
+* :class:`ResNetMano`         -- the boukhayma-style hand-rolled BasicBlock
+  [3,4,6,3] net with dual conv1 (3ch / 24ch, 7x7 s2) and an fc to the MANO
+  parameter vector (reference resnetMANO.py:138-235).
+
+Divergences (documented):
+* no pretrained ImageNet weights are loaded (torchvision is unavailable and
+  the environment has no egress); conv1 was retrained from scratch in the
+  reference anyway.  He-normal init mirrors torch's default for convs.
+* ResNetMano's ``AvgPool2d(7)`` (which averages only the top-left 7x7 window
+  of the 8x8/10x10 final feature map) is replaced by global mean pooling.
+
+Layout: NHWC with channels-last convolutions -- the native layout for TPU
+MXU convolutions.  ``dtype`` controls the compute dtype (bfloat16 on TPU);
+parameters and batch-norm statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.ones)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1), self.strides,
+                                 name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class BottleneckBlock(nn.Module):
+    filters: int
+    strides: Tuple[int, int] = (1, 1)
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.ones)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * 4, (1, 1), self.strides,
+                                 name="conv_proj")(residual)
+            residual = self.norm(name="norm_proj")(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk + 1000-d fc (torchvision-compatible shape contract).
+
+    ``stem`` selects between the reference's replaced conv1 (k=3, s=2;
+    'k3s2') and the classic 7x7 s2 stem ('k7s2').
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef
+    num_classes: int = 1000
+    num_filters: int = 64
+    stem: str = "k3s2"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       kernel_init=nn.initializers.he_normal())
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
+        if self.stem == "k3s2":
+            x = conv(self.num_filters, (3, 3), (2, 2), name="conv_init")(x)
+        elif self.stem == "k7s2":
+            x = conv(self.num_filters, (7, 7), (2, 2), name="conv_init")(x)
+        else:
+            raise ValueError(self.stem)
+        x = norm(name="bn_init")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_count in enumerate(self.stage_sizes):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = self.block_cls(self.num_filters * 2 ** i, strides=strides,
+                                   conv=conv, norm=norm)(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = x.astype(jnp.float32)
+        if self.num_classes:
+            x = nn.Dense(self.num_classes, dtype=self.dtype,
+                         name="fc")(x).astype(jnp.float32)
+        return x
+
+
+ResNet18 = partial(ResNet, stage_sizes=[2, 2, 2, 2], block_cls=BasicBlock)
+ResNet34 = partial(ResNet, stage_sizes=[3, 4, 6, 3], block_cls=BasicBlock)
+ResNet50 = partial(ResNet, stage_sizes=[3, 4, 6, 3], block_cls=BottleneckBlock)
+
+
+class ResNetFeatureExtractor(nn.Module):
+    """ResNet-50 trunk (modified conv1) + fc projection to ``feat_dim``.
+
+    Reference resNetFeatureExtractor.py:10-26.
+    """
+
+    feat_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResNet50(dtype=self.dtype, name="trunk")(x, train=train)
+        return nn.Dense(self.feat_dim, name="fc_proj")(x)
+
+
+class ExtendedResNet18(nn.Module):
+    """ResNet-18 trunk with modified conv1, 1000-d output.
+
+    Reference PoseViewPointNetwork.py:18-33.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ResNet18(dtype=self.dtype, name="trunk")(x, train=train)
+
+
+class ExtendedResNet50(nn.Module):
+    """ResNet-50 trunk with modified conv1, 1000-d output.
+
+    Reference resnet50MANO.py:15-24.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ResNet50(dtype=self.dtype, name="trunk")(x, train=train)
+
+
+class ResNetMano(nn.Module):
+    """boukhayma-style trunk: BasicBlock [3,4,6,3], dual stem, MANO fc.
+
+    Reference resnetMANO.py:138-235.  ``input_channel`` selects the 3-ch or
+    24-ch stem at construction; both stems exist as parameters (as in the
+    reference, which always constructs conv1 and conv11).
+    """
+
+    fc_dim: int
+    input_channel: int = 3   # 3 | 24
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       kernel_init=nn.initializers.he_normal())
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        if self.input_channel == 24:
+            x = conv(64, (7, 7), (2, 2), name="conv11")(x)
+        elif self.input_channel == 3:
+            x = conv(64, (7, 7), (2, 2), name="conv1")(x[..., 0:3])
+        else:
+            raise ValueError("input_channel should be 3 or 24")
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, block_count in enumerate([3, 4, 6, 3]):
+            for j in range(block_count):
+                strides = (2, 2) if i > 0 and j == 0 else (1, 1)
+                x = BasicBlock(64 * 2 ** i, strides=strides, conv=conv,
+                               norm=norm)(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.fc_dim, name="fc")(x)
