@@ -1,0 +1,87 @@
+"""Tests for the 1-D conditional diffusion stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handpose_tpu.nn.diffusion import (DiffusionJointEstimation,
+                                       DiffusionSchedule, Unet1D,
+                                       cosine_beta_schedule,
+                                       linear_beta_schedule)
+
+
+def test_beta_schedules_match_reference_formulas():
+    """Schedule constants must match the torch buffers bit-for-bit in f32."""
+    import torch
+
+    for T in (50, 400):
+        lin = linear_beta_schedule(T)
+        tlin = torch.linspace(1000 / T * 1e-4, 1000 / T * 0.02, T,
+                              dtype=torch.float64).numpy()
+        np.testing.assert_allclose(lin, tlin, rtol=1e-12)
+        cos = cosine_beta_schedule(T)
+        steps = T + 1
+        x = torch.linspace(0, T, steps, dtype=torch.float64)
+        ac = torch.cos(((x / T) + 0.008) / 1.008 * np.pi * 0.5) ** 2
+        ac = ac / ac[0]
+        tcos = torch.clip(1 - ac[1:] / ac[:-1], 0, 0.999).numpy()
+        np.testing.assert_allclose(cos, tcos, rtol=1e-10)
+
+
+def test_schedule_loss_weights():
+    s = DiffusionSchedule(100, "cosine", "pred_noise")
+    np.testing.assert_allclose(s.loss_weight, np.ones(100))
+    sv = DiffusionSchedule(100, "cosine", "pred_v")
+    assert np.all(sv.loss_weight < 1.0)
+
+
+def test_unet1d_shapes():
+    net = Unet1D(dim=16, dim_mults=(1, 2, 4, 8), channels=1,
+                 condition_feat_dim=32)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 63, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jnp.zeros((2, 32))
+    params = net.init(rng, x, t, cond)
+    out = net.apply(params, x, t, cond)
+    assert out.shape == (2, 63, 1)
+
+
+def test_diffusion_loss_and_ddim_sample():
+    mod = DiffusionJointEstimation(condition_feat_dim=32, num_timesteps=8,
+                                   num_sampling_timesteps=4, dim=16)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(rng, (2, 1, 63))
+    cond = jax.random.normal(rng, (2, 32))
+    params = mod.init(rng, x0, cond, rng)
+    loss = mod.apply(params, x0, cond, rng)
+    assert np.isfinite(loss) and loss.shape == ()
+
+    sample = jax.jit(lambda p, c, r: mod.apply(p, c, r, method=mod.sample))(
+        params, cond, rng)
+    assert sample.shape == (2, 1, 63)
+    assert np.all(np.isfinite(sample))
+
+
+def test_ddpm_ancestral_sampler():
+    mod = DiffusionJointEstimation(condition_feat_dim=16, num_timesteps=6,
+                                   num_sampling_timesteps=6, dim=16)  # no DDIM
+    rng = jax.random.PRNGKey(1)
+    x0 = jax.random.uniform(rng, (2, 1, 63))
+    cond = jax.random.normal(rng, (2, 16))
+    params = mod.init(rng, x0, cond, rng)
+    sample = mod.apply(params, cond, rng, method=mod.sample)
+    assert sample.shape == (2, 1, 63)
+    assert np.all(np.isfinite(sample))
+
+
+def test_ddim_time_pairs_match_reference():
+    """The (time, time_next) ladder must reproduce torch.linspace().int()."""
+    import torch
+
+    total, sampling = 400, 200
+    times = torch.linspace(-1, total - 1, steps=sampling + 1)
+    ref = list(reversed(times.int().tolist()))
+    ours = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1].tolist()
+    assert ref == ours
