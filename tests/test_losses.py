@@ -1,0 +1,67 @@
+"""Golden parity tests for losses and MPJPE vs the torch reference."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from handpose_tpu.losses import (LossCalculation, contrastive_loss,
+                                 hand_mask_loss, masked_l2_loss,
+                                 regularization_loss)
+from handpose_tpu.metrics import masked_sum_count, mpjpe
+
+
+def test_loss_parity(fixtures):
+    f = fixtures("losses")
+    crit = LossCalculation(comp_xyz_loss=True, comp_uv_loss=True,
+                           comp_hand_mask_loss=True,
+                           comp_regularization_loss=True)
+    terms = crit(jnp.asarray(f["pre_xyz"]), jnp.asarray(f["gt_xyz"]),
+                 jnp.asarray(f["pre_uv"]), jnp.asarray(f["gt_uv"]),
+                 jnp.asarray(f["vis"]), hand_mask=jnp.asarray(f["hand_mask"]),
+                 theta=jnp.asarray(f["theta"]), beta=jnp.asarray(f["beta"]))
+    np.testing.assert_allclose(terms.xyz, f["loss_xyz"], rtol=1e-5)
+    np.testing.assert_allclose(terms.uv, f["loss_uv"], rtol=1e-5)
+    np.testing.assert_allclose(terms.hand_mask, f["loss_hand_mask"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(terms.regularization, f["loss_reg"], rtol=1e-5)
+
+
+def test_mpjpe_parity(fixtures):
+    f = fixtures("losses")
+    m = mpjpe(jnp.asarray(f["pre_xyz"]), jnp.asarray(f["gt_xyz"]),
+              jnp.asarray(f["vis"]))
+    np.testing.assert_allclose(m, f["mpjpe"], rtol=1e-5)
+    # all-invisible guard
+    m0 = mpjpe(jnp.asarray(f["pre_xyz"]), jnp.asarray(f["gt_xyz"]),
+               jnp.zeros_like(jnp.asarray(f["vis"])))
+    np.testing.assert_allclose(m0, f["mpjpe_novis"], atol=1e-7)
+
+
+def test_masked_sum_count_consistent(fixtures):
+    f = fixtures("losses")
+    s, n = masked_sum_count(jnp.asarray(f["pre_xyz"]),
+                            jnp.asarray(f["gt_xyz"]), jnp.asarray(f["vis"]))
+    np.testing.assert_allclose(s / n, f["mpjpe"], rtol=1e-5)
+
+
+def test_empty_mask_returns_zero():
+    a = jnp.ones((2, 21, 3))
+    b = jnp.zeros((2, 21, 3))
+    vis = jnp.zeros((2, 21, 1))
+    assert masked_l2_loss(a, b, vis) == 0.0
+
+
+def test_contrastive_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    f1 = rng.normal(size=(4, 16)).astype(np.float32)
+    f2 = rng.normal(size=(4, 16)).astype(np.float32)
+    label = rng.integers(0, 2, size=(4,)).astype(np.float32)
+    d = F.pairwise_distance(torch.tensor(f1), torch.tensor(f2))
+    ref = torch.mean((1 - torch.tensor(label)) * d ** 2 +
+                     torch.tensor(label) *
+                     torch.clamp(1.0 - d, min=0.0) ** 2).item()
+    ours = contrastive_loss(jnp.asarray(f1), jnp.asarray(f2),
+                            jnp.asarray(label))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
