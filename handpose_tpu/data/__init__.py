@@ -1,0 +1,12 @@
+"""Data layer: host decode + device-side geometric preprocessing."""
+
+from .preprocess import RawBatch, preprocess_batch, model_input
+from .rhd import RHDDataset, write_synthetic_rhd
+from .synthetic import fake_sample_batch
+from .pipeline import prefetch, device_batches
+
+__all__ = [
+    "RawBatch", "preprocess_batch", "model_input",
+    "RHDDataset", "write_synthetic_rhd", "fake_sample_batch",
+    "prefetch", "device_batches",
+]

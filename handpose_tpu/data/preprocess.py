@@ -1,0 +1,174 @@
+"""Device-side RHD preprocessing: the whole `__getitem__` pipeline, jitted.
+
+TPU-native redesign of reference dataloader/RHD/dataloaderRHD.py:77-533.
+The reference runs ~0.02 s/sample of python/torch per CPU worker (author
+comment dataloaderRHD.py:532, ~6-10 s per bs=200 batch fetch,
+trainval.py:270).  Here the host only decodes PNGs; everything from the
+mask analysis down -- dominant-hand selection, mirroring, root-relative /
+bone-relative / canonical transforms, visibility-driven crop + resize,
+intrinsics rewrite, Gaussian scoremap rendering -- is one fused, batched,
+fixed-shape XLA program (`preprocess_batch`) that runs on the accelerator.
+
+The per-sample python branches of the reference become `jnp.where` masks;
+the left/right selection, crop-window int truncation and scoremap gating
+match the reference bit-for-bit (see tests/test_preprocess_parity.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bone_rel import bone_rel_trafo
+from ..ops.canonical import canonical_trafo
+from ..ops.crop import (compute_crop_params, crop_intrinsics,
+                        crop_resize_bilinear, crop_resize_nearest, crop_uv)
+from ..ops.heatmap import render_gaussian_maps
+
+
+class RawBatch(NamedTuple):
+    """Host-produced raw inputs (uint8 images, float annotations)."""
+
+    image: jnp.ndarray       # (B, H, W, 3) uint8 RGB
+    mask: jnp.ndarray        # (B, H, W) uint8 hand-parts segmentation
+    keypoint_uv: jnp.ndarray   # (B, 42, 2) float32
+    keypoint_vis: jnp.ndarray  # (B, 42) bool/float
+    keypoint_xyz: jnp.ndarray  # (B, 42, 3) float32
+    camera_K: jnp.ndarray      # (B, 3, 3) float32
+
+
+# MANO<->RHD joint-order switch (reference dataloaderRHD.py:587-591)
+_SWITCH_PERM = [0] + [i + d for i in (1, 5, 9, 13, 17) for d in (3, 2, 1, 0)]
+
+
+@partial(jax.jit, static_argnames=("crop_size", "sigma", "use_wrist_coord",
+                                   "switch_joint_order", "calculate_scoremap",
+                                   "hand_crop"))
+def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
+                     use_wrist_coord: bool = True,
+                     switch_joint_order: bool = True,
+                     calculate_scoremap: bool = True,
+                     hand_crop: bool = True) -> dict:
+    """(B, ...) raw inputs -> the reference sample-dict contract, batched.
+
+    Returns a dict with the keys consumed at reference trainval.py:276-291
+    plus the canonical/local extras.
+    """
+    B, H, W, _ = raw.image.shape
+    image = raw.image.astype(jnp.float32) / 255.0 - 0.5
+    kp_uv = raw.keypoint_uv.astype(jnp.float32)
+    kp_vis = raw.keypoint_vis.reshape(B, -1).astype(bool)
+    kp_xyz = raw.keypoint_xyz.astype(jnp.float32)
+    K = raw.camera_K.astype(jnp.float32)
+
+    if not use_wrist_coord:
+        palm_l = 0.5 * (kp_xyz[:, 0] + kp_xyz[:, 12])
+        palm_r = 0.5 * (kp_xyz[:, 21] + kp_xyz[:, 33])
+        kp_xyz = kp_xyz.at[:, 0].set(palm_l).at[:, 21].set(palm_r)
+        palm_uv_l = 0.5 * (kp_uv[:, 0] + kp_uv[:, 12])
+        palm_uv_r = 0.5 * (kp_uv[:, 21] + kp_uv[:, 33])
+        kp_uv = kp_uv.at[:, 0].set(palm_uv_l).at[:, 21].set(palm_uv_r)
+        kp_vis = kp_vis.at[:, 0].set(kp_vis[:, 0] | kp_vis[:, 12])
+        kp_vis = kp_vis.at[:, 21].set(kp_vis[:, 21] | kp_vis[:, 33])
+
+    # dominant-hand selection from the segmentation mask
+    # (reference dataloaderRHD.py:171-201)
+    m = raw.mask.astype(jnp.int32)
+    hand_map_l = ((m > 1) & (m < 18)).astype(jnp.int32)
+    hand_map_r = (m > 17).astype(jnp.int32)
+    n_l = jnp.sum(hand_map_l, axis=(1, 2))
+    n_r = jnp.sum(hand_map_r, axis=(1, 2))
+    cond_left = n_l > n_r                                   # (B,)
+    hand_side = jnp.where(cond_left, 0, 1)
+
+    right_hand_mask = jnp.where(cond_left[:, None, None],
+                                jnp.flip(hand_map_l, axis=2), hand_map_r)
+
+    cl3 = cond_left[:, None, None]
+    kp_xyz21 = jnp.where(cl3, kp_xyz[:, :21], kp_xyz[:, 21:])
+    # mirror left hands into right-hand convention: negate x
+    kp_xyz21 = jnp.where(cl3, kp_xyz21 * jnp.asarray([-1.0, 1.0, 1.0]),
+                         kp_xyz21)
+    kp_vis21 = jnp.where(cond_left[:, None], kp_vis[:, :21], kp_vis[:, 21:])
+    kp_uv21 = jnp.where(cl3, kp_uv[:, :21], kp_uv[:, 21:])
+
+    # root-relative + scale-normalised coords (dataloaderRHD.py:229-238)
+    root = kp_xyz21[:, 0, :]
+    rel = kp_xyz21 - root[:, None, :]
+    if use_wrist_coord:
+        scale = jnp.sqrt(jnp.sum(rel[:, 12, :] ** 2, axis=-1))
+    else:
+        scale = jnp.sqrt(jnp.sum((rel[:, 12, :] - rel[:, 11, :]) ** 2,
+                                 axis=-1))
+    rel_normed = rel / scale[:, None, None]
+
+    local = bone_rel_trafo(rel_normed)
+    can, rot = canonical_trafo(rel_normed)
+    # rotation matrices are orthonormal: inverse == transpose
+    # (reference uses torch.inverse, dataloaderRHD.py:252)
+    rot_inv = jnp.swapaxes(rot, -1, -2)
+
+    # mirror the image + u coordinate for left hands
+    # (dataloaderRHD.py:276-289)
+    image = jnp.where(cond_left[:, None, None, None],
+                      jnp.flip(image, axis=2), image)
+    u_mirr = jnp.where(cond_left[:, None], W - kp_uv21[:, :, 0],
+                       kp_uv21[:, :, 0])
+    kp_uv21 = jnp.stack([u_mirr, kp_uv21[:, :, 1]], axis=-1)
+
+    out = {
+        "image": image,
+        "hand_side": jax.nn.one_hot(hand_side, 2),
+        "keypoint_xyz21": kp_xyz21,
+        "keypoint_vis21": kp_vis21[..., None],
+        "keypoint_uv21": kp_uv21,
+        "keypoint_scale": scale[:, None],
+        "keypoint_xyz_root": root,
+        "keypoint_xyz21_rel_normed": rel_normed,
+        "keypoint_xyz21_local": local,
+        "kp_coord_xyz21_rel_can": can,
+        "rot_mat": rot_inv,
+        "camera_intrinsic_matrix": K,
+    }
+
+    if hand_crop:
+        params = compute_crop_params(kp_uv21, kp_vis21, (H, W), crop_size)
+        out["image_crop"] = crop_resize_bilinear(image, params, crop_size)
+        rhm = crop_resize_nearest(right_hand_mask.astype(jnp.float32),
+                                  params, crop_size)
+        out["right_hand_mask"] = (rhm > 0).astype(jnp.float32)
+        kp_uv21 = crop_uv(kp_uv21, params)
+        out["keypoint_uv21"] = kp_uv21
+        out["camera_intrinsic_matrix"] = crop_intrinsics(K, params)
+    else:
+        out["right_hand_mask"] = right_hand_mask.astype(jnp.float32)
+
+    if calculate_scoremap:
+        size = (crop_size, crop_size) if hand_crop else (H, W)
+        coords_hw = jnp.stack([kp_uv21[..., 1], kp_uv21[..., 0]], axis=-1)
+        out["scoremap"] = render_gaussian_maps(coords_hw, size, sigma,
+                                               kp_vis21)
+
+    if switch_joint_order:
+        perm = jnp.asarray(_SWITCH_PERM)
+        out["keypoint_vis21"] = out["keypoint_vis21"][:, perm]
+        out["keypoint_uv21"] = out["keypoint_uv21"][:, perm]
+        out["keypoint_xyz21"] = out["keypoint_xyz21"][:, perm]
+
+    return out
+
+
+def model_input(sample: dict, input_channels: int) -> jnp.ndarray:
+    """Assemble the network input per config.input_channels
+    (reference trainval.py:293-300); NHWC."""
+    if input_channels == 24:
+        score = jnp.transpose(sample["scoremap"], (0, 2, 3, 1))
+        return jnp.concatenate([sample["image_crop"], score], axis=-1)
+    if input_channels == 21:
+        return jnp.transpose(sample["scoremap"], (0, 2, 3, 1))
+    if input_channels == 3:
+        return sample["image_crop"]
+    raise ValueError("input_channels are not supported")

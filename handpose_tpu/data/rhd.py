@@ -1,0 +1,138 @@
+"""Host-side RHD dataset: annotation pickle + threaded PNG decode.
+
+TPU-native replacement for the reference's 15-worker
+``torch.utils.data.DataLoader`` around RHD_HandKeypointsDataset
+(reference dataloaderRHD.py, trainval.py:140-141).  The host's only jobs
+are disk I/O and PNG decode (threaded, overlapped with device compute via
+:mod:`handpose_tpu.data.pipeline`); all geometry runs on-device in
+:func:`handpose_tpu.data.preprocess.preprocess_batch`.
+
+Directory layout (same as RHD):
+  <root>/<set_type>/anno_<set_type>.pickle
+  <root>/<set_type>/color/NNNNN.png   (320x320 RGB)
+  <root>/<set_type>/mask/NNNNN.png    (320x320 uint8 parts)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .preprocess import RawBatch
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class RHDDataset:
+    """Raw-sample access: images as uint8, annotations as float32."""
+
+    def __init__(self, root_dir: str, set_type: str = "training",
+                 num_decode_threads: int = 8):
+        assert set_type in ("evaluation", "training")
+        self.root_dir = root_dir
+        self.set_type = set_type
+        anno_path = os.path.join(root_dir, set_type,
+                                 f"anno_{set_type}.pickle")
+        with open(anno_path, "rb") as f:
+            self.annotations = pickle.load(f)
+        self._pool = ThreadPoolExecutor(num_decode_threads)
+
+    def __len__(self):
+        return len(self.annotations)
+
+    def _paths(self, idx: int):
+        name = f"{idx:05d}.png"
+        d = os.path.join(self.root_dir, self.set_type)
+        return (os.path.join(d, "color", name), os.path.join(d, "mask", name))
+
+    def _load_sample(self, idx: int):
+        color_p, mask_p = self._paths(idx)
+        img = cv2.imread(color_p)          # BGR
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        mask = cv2.imread(mask_p, 0)
+        return img, mask
+
+    def raw_batch(self, indices: Sequence[int]) -> RawBatch:
+        """Decode + collate a batch of raw samples (threaded)."""
+        results = list(self._pool.map(self._load_sample, indices))
+        imgs = np.stack([r[0] for r in results])
+        masks = np.stack([r[1] for r in results])
+        uv = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, :2],
+                                  np.float32) for i in indices])
+        vis = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, 2] == 1)
+                        for i in indices])
+        xyz = np.stack([np.asarray(self.annotations[i]["xyz"], np.float32)
+                        for i in indices])
+        K = np.stack([np.asarray(self.annotations[i]["K"], np.float32)
+                      for i in indices])
+        return RawBatch(image=imgs, mask=masks, keypoint_uv=uv,
+                        keypoint_vis=vis, keypoint_xyz=xyz, camera_K=K)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = True
+                ) -> Iterator[RawBatch]:
+        """Epoch iterator of raw host batches (fixed batch shape)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n = len(order)
+        end = n - (n % batch_size) if drop_remainder else n
+        for s in range(0, end, batch_size):
+            idx = order[s:s + batch_size]
+            if len(idx) < batch_size and drop_remainder:
+                break
+            yield self.raw_batch(list(idx))
+
+
+def write_synthetic_rhd(root_dir: str, set_type: str = "evaluation",
+                        n: int = 8, seed: int = 0,
+                        image_size: int = 320) -> None:
+    """Write a miniature RHD-format tree with plausible geometry (for tests
+    and smoke runs without the 41k-sample dataset)."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root_dir, set_type)
+    os.makedirs(os.path.join(d, "color"), exist_ok=True)
+    os.makedirs(os.path.join(d, "mask"), exist_ok=True)
+    annos = {}
+    for i in range(n):
+        img = rng.integers(0, 255, (image_size, image_size, 3),
+                           dtype=np.uint8)
+        mask = np.zeros((image_size, image_size), np.uint8)
+        # one blob of "left hand" parts (2..17), one of "right" (18..33)
+        ly, lx = rng.integers(60, 200, 2)
+        ry, rx = rng.integers(60, 200, 2)
+        sz_l = int(rng.integers(10, 50))
+        sz_r = int(rng.integers(10, 50))
+        mask[ly:ly + sz_l, lx:lx + sz_l] = rng.integers(2, 18)
+        mask[ry:ry + sz_r, rx:rx + sz_r] = rng.integers(18, 34)
+        f = 300.0 + rng.uniform(-20, 20)
+        K = np.array([[f, 0, image_size / 2], [0, f, image_size / 2],
+                      [0, 0, 1]], np.float32)
+        xyz = np.zeros((42, 3), np.float32)
+        for h in range(2):
+            c = np.array([rng.uniform(-0.08, 0.08), rng.uniform(-0.08, 0.08),
+                          rng.uniform(0.5, 0.8)])
+            pts = c + rng.normal(scale=0.04, size=(21, 3))
+            pts[:, 2] = np.abs(pts[:, 2]) + 0.3
+            xyz[h * 21:(h + 1) * 21] = pts
+        uvw = xyz @ K.T
+        uv = uvw[:, :2] / uvw[:, 2:3]
+        vis = rng.uniform(size=(42,)) > 0.25
+        annos[i] = {
+            "uv_vis": np.concatenate([uv, vis[:, None].astype(np.float32)],
+                                     axis=1),
+            "xyz": xyz,
+            "K": K,
+        }
+        cv2.imwrite(os.path.join(d, "color", f"{i:05d}.png"),
+                    img[:, :, ::-1])
+        cv2.imwrite(os.path.join(d, "mask", f"{i:05d}.png"), mask)
+    with open(os.path.join(d, f"anno_{set_type}.pickle"), "wb") as f:
+        pickle.dump(annos, f)

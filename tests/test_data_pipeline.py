@@ -1,0 +1,57 @@
+"""Host loader + prefetch pipeline integration tests."""
+
+import numpy as np
+import pytest
+
+from handpose_tpu.data import (RHDDataset, device_batches, fake_sample_batch,
+                               prefetch, write_synthetic_rhd)
+
+
+@pytest.fixture(scope="module")
+def mini_rhd(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rhd")
+    write_synthetic_rhd(str(root), "evaluation", n=10, seed=3)
+    return str(root)
+
+
+def test_rhd_dataset_raw_batch(mini_rhd):
+    ds = RHDDataset(mini_rhd, "evaluation", num_decode_threads=2)
+    assert len(ds) == 10
+    raw = ds.raw_batch([0, 1, 2, 3])
+    assert raw.image.shape == (4, 320, 320, 3)
+    assert raw.image.dtype == np.uint8
+    assert raw.mask.shape == (4, 320, 320)
+    assert raw.keypoint_uv.shape == (4, 42, 2)
+
+
+def test_epoch_iterator_fixed_shapes(mini_rhd):
+    ds = RHDDataset(mini_rhd, "evaluation")
+    batches = list(ds.batches(4, shuffle=True, seed=0))
+    assert len(batches) == 2   # 10 // 4, remainder dropped
+    for b in batches:
+        assert b.image.shape == (4, 320, 320, 3)
+
+
+def test_device_batches_end_to_end(mini_rhd):
+    ds = RHDDataset(mini_rhd, "evaluation")
+    it = device_batches(ds.batches(4), crop_size=256, prefetch_depth=2)
+    sample = next(it)
+    assert sample["image_crop"].shape == (4, 256, 256, 3)
+    assert sample["scoremap"].shape == (4, 21, 256, 256)
+    assert sample["keypoint_xyz21"].shape == (4, 21, 3)
+    assert np.all(np.isfinite(np.asarray(sample["keypoint_uv21"])))
+
+
+def test_prefetch_preserves_order():
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+
+def test_fake_sample_batch_contract():
+    s = fake_sample_batch(2, 64)
+    assert s["image_crop"].shape == (2, 64, 64, 3)
+    assert s["keypoint_xyz21"].shape == (2, 21, 3)
+    assert s["rot_mat"].shape == (2, 3, 3)
+    # rotation matrices orthonormal
+    R = np.asarray(s["rot_mat"])
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), R.shape), atol=1e-5)

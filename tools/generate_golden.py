@@ -279,3 +279,38 @@ save("crop", img=np.transpose(img, (0, 2, 3, 1)), kp_uv=kp_uv,
      lens=np.array(p_len, np.int32))
 
 print("done")
+
+# ---- full RHD __getitem__ parity ----------------------------------------
+# Build a synthetic mini-RHD tree, run the reference dataset end to end,
+# and capture every sample-dict tensor.
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from handpose_tpu.data.rhd import write_synthetic_rhd  # noqa: E402
+
+tmp = tempfile.mkdtemp(prefix="rhd_mini_")
+write_synthetic_rhd(tmp, "evaluation", n=6, seed=7)
+
+from dataloader.RHD.dataloaderRHD import RHD_HandKeypointsDataset as RefDS  # noqa: E402
+
+ref_ds = RefDS(root_dir=tmp, set_type="evaluation")
+keys = ["image", "image_crop", "keypoint_vis21", "keypoint_uv21",
+        "keypoint_xyz21", "keypoint_scale", "keypoint_xyz_root",
+        "keypoint_xyz21_rel_normed", "keypoint_xyz21_local",
+        "kp_coord_xyz21_rel_can", "rot_mat", "scoremap",
+        "camera_intrinsic_matrix", "right_hand_mask", "hand_side"]
+samples = {k: [] for k in keys}
+for i in range(6):
+    s = ref_ds[i]
+    for k in keys:
+        samples[k].append(np.asarray(s[k], dtype=np.float32))
+save("rhd_getitem", **{k: np.stack(v) for k, v in samples.items()})
+
+# raw inputs for our pipeline
+from handpose_tpu.data.rhd import RHDDataset  # noqa: E402
+
+ours_ds = RHDDataset(tmp, "evaluation", num_decode_threads=2)
+raw = ours_ds.raw_batch(list(range(6)))
+save("rhd_raw", image=raw.image, mask=raw.mask, keypoint_uv=raw.keypoint_uv,
+     keypoint_vis=raw.keypoint_vis.astype(np.float32),
+     keypoint_xyz=raw.keypoint_xyz, camera_K=raw.camera_K)
