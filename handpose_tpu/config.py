@@ -92,7 +92,7 @@ class Config:
     # (reference DiffusionHandPose.py:43 + conditionalDiffusion.py:674-709).
     # Capability parity is kept (sampling is always available); making it
     # optional per-step is the performance fix SURVEY.md 3.3 calls for.
-    diffusion_sample_in_train: bool = False
+    diffusion_sample_in_train: bool = True
 
     # -- MANO (reference config.py:64-68) --
     mano_right_hand_path: str = ""  # resolved by handpose_tpu.nn.mano.find_mano_pkl

@@ -41,6 +41,11 @@ from ..ops.rotations import axis_angle_rot_mat
 _PI = math.pi
 
 
+def _dt(cfg: Config):
+    """Backbone compute dtype (bfloat16 on TPU; geometry stays f32)."""
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 @flax.struct.dataclass
 class ModelOutput:
     """Typed replacement for the reference's
@@ -86,6 +91,7 @@ class TwoDimHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         pose = _TwoDimMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num,
@@ -109,6 +115,7 @@ class TwoDimHandPoseWithFK(nn.Module):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         kp = self.cfg.keypoint_num
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         pose = _TwoDimMLP(self.cfg.resnet_out_feature_dim, kp,
                           name="twoDimPoseEstimate")(feat)
@@ -147,6 +154,7 @@ class ThreeDimHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         from ..nn.mlp import DecayMLP
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         pose63 = DecayMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num * 3, divide=2,
@@ -176,6 +184,7 @@ class OnlyThreeDimHandPose(nn.Module):
         from ..nn.mlp import DecayMLP
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         pose63 = DecayMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num * 3, divide=2,
@@ -201,7 +210,7 @@ class DiffusionHandPose(nn.Module):
 
     def setup(self):
         self.resnet_extractor = ResNetFeatureExtractor(
-            self.cfg.condition_feat_dim)
+            self.cfg.condition_feat_dim, dtype=_dt(self.cfg))
         self.diff_model = DiffusionJointEstimation(
             keypoint_num=self.cfg.keypoint_num,
             condition_feat_dim=self.cfg.condition_feat_dim,
@@ -247,6 +256,7 @@ class MANO3DHandPose(nn.Module):
                  index_root_bone_length=None, keypoint_xyz_root=None,
                  pose_x0=None, train: bool = False):
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         root_angles, other_angles = MANOThetaPrediction(
             self.cfg.resnet_out_feature_dim, self.cfg.mano_pose_num,
@@ -275,7 +285,7 @@ class ThreeHandShapeAndPoseMANO(nn.Module):
         regress_uv = self.cfg.network_regress_uv
         fc_dim = 10 + pose_num + 3 + (3 if regress_uv else 0)
         xs = ResNetMano(fc_dim=fc_dim, input_channel=self.cfg.input_channels,
-                        name="resnet_Mano")(img, train)
+                        dtype=_dt(self.cfg), name="resnet_Mano")(img, train)
         rot = xs[:, 0:3]
         theta = xs[:, 3:pose_num + 3]
         beta = xs[:, pose_num + 3:pose_num + 13]
@@ -304,7 +314,8 @@ class Resnet50MANO3DHandPose(nn.Module):
         from ..nn.mlp import DecayMLP
         pose_num = self.cfg.mano_pose_num
         fc_dim = 10 + pose_num + 3 + (3 if self.cfg.network_regress_uv else 0)
-        feat = ExtendedResNet50(name="extended_resnet50_extractor")(img, train)
+        feat = ExtendedResNet50(dtype=_dt(self.cfg),
+                                name="extended_resnet50_extractor")(img, train)
         xs = DecayMLP(1000, fc_dim, divide=2, activation="ReLU",
                       use_sigmoid=True, name="mlp")(feat)
         rot = (xs[:, 0:3] - 0.5) * 2 * _PI
@@ -330,6 +341,7 @@ class Hand3DPoseNet(nn.Module):
                  pose_x0=None, train: bool = False):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
+                                      dtype=_dt(self.cfg),
                                       name="resnet_extractor")(img, train)
         can = Pose3dPrediction(self.cfg.resnet_out_feature_dim,
                                self.cfg.keypoint_num,
@@ -363,9 +375,9 @@ class Hand3DPosePriorNetwork(nn.Module):
                  index_root_bone_length=None, keypoint_xyz_root=None,
                  pose_x0=None, train: bool = False):
         B = img.shape[0]
-        can = PosePrior(name="PosePrior_net")(img, train)
+        can = PosePrior(dtype=_dt(self.cfg), name="PosePrior_net")(img, train)
         can = can.reshape(B, -1, 3)
-        ux, uy, uz = ViewPoint(name="ViewPoint_net")(img, train)
+        ux, uy, uz = ViewPoint(dtype=_dt(self.cfg), name="ViewPoint_net")(img, train)
         rot_mat = axis_angle_rot_mat(jnp.concatenate([ux, uy, uz], axis=-1))
         rel_normed = can @ rot_mat
         if self.is_inference:

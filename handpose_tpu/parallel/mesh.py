@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's distributed story (the orphan
+DDP/NCCL template, reference dist.py:9-52): a `jax.sharding.Mesh` over ICI
+with batch-axis ("data") sharding under jit -- gradient all-reduce is
+emitted by XLA as `psum` on the interconnect, no process groups or NCCL
+calls.  Works identically on 1 chip, an 8-device CPU test mesh, or a pod
+slice; multi-host extends via `jax.distributed.initialize` with per-host
+data loading.
+
+The mesh also carries an optional "model" axis for tensor-parallel layouts
+of the wide fc heads (unused at batch sizes this framework targets, but the
+shardings compile and the axis is exercised by dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              shape: Sequence[int] = (-1,),
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Build a mesh; -1 in ``shape`` absorbs the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(shape)
+    known = int(np.prod([s for s in shape if s != -1]))
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // max(known, 1)
+    n = int(np.prod(shape))
+    arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place every array in a pytree batch-sharded over the data axis."""
+    def put(a):
+        return jax.device_put(a, NamedSharding(
+            mesh, P("data", *([None] * (a.ndim - 1)))))
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)

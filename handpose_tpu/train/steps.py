@@ -1,0 +1,121 @@
+"""Jitted train / eval steps with per-model loss gating.
+
+TPU-native equivalent of the per-iteration bodies of both reference
+trainers (trainval.py:270-371, trainval_hand3DPose.py:230-320): one fused
+forward+loss+backward+update XLA program.  Loss-term gating per model and
+the uv/1e5 scaling (trainval.py:346) follow the reference's aggregation.
+
+Data parallelism: the step functions are plain jit; feed them batch-sharded
+arrays (parallel.mesh.shard_batch) and replicated state and XLA emits the
+gradient all-reduce over the mesh -- the same compiled fn runs single-chip
+or across a slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.preprocess import model_input
+from ..losses import masked_l2_loss, rot_mat_mse, hand_mask_loss, \
+    regularization_loss
+from ..metrics import masked_sum_count, mpjpe
+from .state import TrainState
+
+_TRAINER_B = ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
+
+
+def _forward(model_apply, params, batch_stats, batch, cfg: Config,
+             train: bool, rng):
+    inp = model_input(batch, cfg.input_channels)
+    B = inp.shape[0]
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(B, 1, -1)
+    variables = {"params": params, "batch_stats": batch_stats}
+    kwargs = dict(train=train, rngs={"diffusion": rng})
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    if train:
+        out, new_state = model_apply(variables, *args,
+                                     mutable=["batch_stats"], **kwargs)
+        return out, new_state.get("batch_stats", batch_stats)
+    out = model_apply(variables, *args, **kwargs)
+    return out, batch_stats
+
+
+def compute_losses(out, batch, cfg: Config) -> Dict[str, jnp.ndarray]:
+    """Gated loss terms + total (reference trainval.py:330-360)."""
+    gates = cfg.loss_gates
+    vis = batch["keypoint_vis21"]
+    terms = {}
+    total = jnp.zeros(())
+    if cfg.model_name in _TRAINER_B:
+        # trainer-B: canonical-coords L2 + rotation MSE
+        # (reference trainval_hand3DPose.py:284-288)
+        loss_xyz = masked_l2_loss(out.can_xyz,
+                                  batch["kp_coord_xyz21_rel_can"], vis)
+        loss_rot = rot_mat_mse(out.rot_mat, batch["rot_mat"])
+        terms["loss_xyz"] = loss_xyz
+        terms["loss_rot"] = loss_rot
+        return {**terms, "loss": loss_xyz + loss_rot}
+    if gates["xyz"] and out.xyz is not None:
+        terms["loss_xyz"] = masked_l2_loss(out.xyz, batch["keypoint_xyz21"],
+                                           vis)
+        total = total + terms["loss_xyz"]
+    if gates["uv"] and out.uv is not None:
+        terms["loss_uv"] = masked_l2_loss(out.uv, batch["keypoint_uv21"], vis)
+        total = total + terms["loss_uv"] / 1e5
+    if gates["diffusion"] and out.diffusion_loss is not None:
+        terms["loss_diffusion"] = out.diffusion_loss
+        total = total + out.diffusion_loss
+    if gates["hand_mask"] and out.uv is not None:
+        terms["loss_hand_mask"] = hand_mask_loss(
+            out.uv, batch["keypoint_uv21"], batch["right_hand_mask"])
+        total = total + terms["loss_hand_mask"]
+    if gates["regularization"] and out.theta is not None:
+        terms["loss_regularization"] = regularization_loss(out.theta, out.beta)
+        total = total + terms["loss_regularization"]
+    return {**terms, "loss": total}
+
+
+def make_train_step(model, cfg: Config):
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            out, new_bs = _forward(model.apply, params, state.batch_stats,
+                                   batch, cfg, True, rng)
+            losses = compute_losses(out, batch, cfg)
+            return losses["loss"], (new_bs, losses)
+
+        (loss, (new_bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, losses
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config):
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng):
+        out, _ = _forward(model.apply, state.params, state.batch_stats,
+                          batch, cfg, False, rng)
+        losses = compute_losses(out, batch, cfg)
+        vis = batch["keypoint_vis21"]
+        if cfg.model_name in _TRAINER_B:
+            m = mpjpe(out.can_xyz, batch["kp_coord_xyz21_rel_can"], vis)
+            s, n = masked_sum_count(out.can_xyz,
+                                    batch["kp_coord_xyz21_rel_can"], vis)
+        elif cfg.model_name == "TwoDimHandPose":
+            m = mpjpe(out.uv, batch["keypoint_uv21"], vis)
+            s, n = masked_sum_count(out.uv, batch["keypoint_uv21"], vis)
+        else:
+            m = mpjpe(out.xyz, batch["keypoint_xyz21"], vis)
+            s, n = masked_sum_count(out.xyz, batch["keypoint_xyz21"], vis)
+        return {**losses, "mpjpe": m, "mpjpe_sum": s, "mpjpe_count": n}
+
+    return eval_step

@@ -1,0 +1,185 @@
+"""The training harness (Worker equivalent).
+
+TPU-native rebuild of the reference's two epoch-loop trainers
+(trainval.py `Worker`, trainval_hand3DPose.py `Worker`): model registry +
+loss gating from config, Adam + per-epoch cosine schedule, jitted
+train/eval steps over a batch-sharded device mesh, TensorBoard + log.txt,
+Orbax best/last checkpoints with filtered-resume/finetune detection, and
+first-class fake-data and fast_debug modes.
+
+One harness covers both reference trainers: the trainer-B loss/eval paths
+(Hand3DPoseNet / Hand3DPosePriorNetwork) are selected by model name inside
+the step functions (see train/steps.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.preprocess import model_input
+from ..data.pipeline import device_batches
+from ..data.rhd import RHDDataset
+from ..data.synthetic import fake_sample_batch
+from ..models import build_model
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.logging import RunLogger, StepStats, make_run_dir
+from .checkpoints import filtered_resume, save_checkpoint
+from .state import create_train_state
+from .steps import make_eval_step, make_train_step
+
+
+class Worker:
+    """Epoch-loop trainer (reference trainval.py:51-630)."""
+
+    def __init__(self, cfg: Config, run_dir: Optional[str] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            shape=cfg.mesh_shape, axis_names=cfg.mesh_axis_names)
+        self.model = build_model(cfg)
+        self.train_step = make_train_step(self.model, cfg)
+        self.eval_step = make_eval_step(self.model, cfg)
+
+        # datasets
+        if cfg.use_fake_data or cfg.dataset_name == "synthetic":
+            self.train_ds = None
+            self.val_ds = None
+            self.steps_per_epoch = 10
+        elif cfg.dataset_name == "RHD":
+            train_split = ("evaluation" if cfg.use_val_dataset_to_debug
+                           else "training")
+            self.train_ds = RHDDataset(cfg.dataset_root_dir, train_split,
+                                       cfg.num_workers)
+            self.val_ds = RHDDataset(cfg.dataset_root_dir, "evaluation",
+                                     cfg.num_workers)
+            self.steps_per_epoch = max(len(self.train_ds) // cfg.batch_size, 1)
+        else:
+            raise ValueError(f"dataset {cfg.dataset_name} not supported here")
+
+        # init state from one sample batch
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = self._sample_batch(seed=cfg.seed)
+        inp = model_input(sample, cfg.input_channels)
+        pose_x0 = sample["keypoint_xyz21_rel_normed"].reshape(
+            inp.shape[0], 1, -1)
+        args = (inp, sample["camera_intrinsic_matrix"],
+                sample["keypoint_scale"], sample["keypoint_xyz_root"],
+                pose_x0)
+        self.state = create_train_state(self.model, cfg, args, rng,
+                                        self.steps_per_epoch)
+        self.state = self.state.replace(
+            params=replicate(self.state.params, self.mesh),
+            batch_stats=replicate(self.state.batch_stats, self.mesh),
+            opt_state=replicate(self.state.opt_state, self.mesh))
+
+        self.run_dir = run_dir or make_run_dir(
+            cfg.save_log_dir, cfg.model_name, cfg.dataset_name, cfg.to_json())
+        self.logger = RunLogger(self.run_dir)
+        self.stats = StepStats()
+        self.start_epoch = 0
+        self.best_mpjpe = float(np.inf)
+        self.rng = jax.random.PRNGKey(cfg.seed + 17)
+
+        if cfg.resume_weight_path:
+            self.state, self.start_epoch, self.best_mpjpe, finetune = \
+                filtered_resume(self.state, cfg.resume_weight_path)
+            mode = "finetune" if finetune else "resume"
+            self.logger.text(f"loaded {cfg.resume_weight_path} as {mode}; "
+                             f"start_epoch={self.start_epoch}")
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self, seed=0) -> dict:
+        if self.train_ds is None:
+            return fake_sample_batch(min(self.cfg.batch_size, 8),
+                                     self.cfg.crop_size,
+                                     self.cfg.input_channels, seed)
+        raw = self.train_ds.raw_batch(
+            list(range(min(self.cfg.batch_size, len(self.train_ds)))))
+        from ..data.preprocess import preprocess_batch
+        return preprocess_batch(jax.device_put(raw),
+                                crop_size=self.cfg.crop_size,
+                                sigma=self.cfg.sigma,
+                                switch_joint_order=self.cfg.joint_order_switched)
+
+    def _epoch_batches(self, split: str, seed: int) -> Iterator[dict]:
+        cfg = self.cfg
+        if self.train_ds is None:
+            for i in range(self.steps_per_epoch):
+                yield fake_sample_batch(min(cfg.batch_size, 8), cfg.crop_size,
+                                        cfg.input_channels, seed * 1000 + i)
+            return
+        ds = self.train_ds if split == "training" else self.val_ds
+        shuffle = split == "training" and cfg.shuffle \
+            and not cfg.use_val_dataset_to_debug
+        yield from device_batches(
+            ds.batches(cfg.batch_size, shuffle=shuffle, seed=seed),
+            crop_size=cfg.crop_size, sigma=cfg.sigma,
+            switch_joint_order=cfg.joint_order_switched,
+            prefetch_depth=cfg.prefetch_depth)
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int, split: str, fast_debug: bool = False):
+        is_train = split == "training"
+        losses_acc: dict = {}
+        mpjpe_sum = 0.0
+        mpjpe_count = 0.0
+        n = 0
+        self.stats.input.tic()
+        for idx, batch in enumerate(self._epoch_batches(split, epoch)):
+            self.stats.input.toc()
+            if fast_debug and idx > 2:
+                break
+            batch = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.stats.step.tic()
+            if is_train:
+                self.state, metrics = self.train_step(self.state, batch,
+                                                      step_rng)
+            else:
+                metrics = self.eval_step(self.state, batch, step_rng)
+                mpjpe_sum += float(metrics["mpjpe_sum"])
+                mpjpe_count += float(metrics["mpjpe_count"])
+            self.stats.step.toc()
+            for k, v in metrics.items():
+                if k in ("mpjpe_sum", "mpjpe_count"):
+                    continue
+                losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
+            n += 1
+            self.stats.input.tic()
+        self.stats.input.toc()
+
+        means = {k: v / max(n, 1) for k, v in losses_acc.items()}
+        epoch_mpjpe = (mpjpe_sum / mpjpe_count if mpjpe_count else 0.0) \
+            if not is_train else None
+        tag = "Training" if is_train else "Validation"
+        info = f"{tag} Epoch: {epoch:03d}, " + ", ".join(
+            f"{k}: {v:.5f}" for k, v in means.items())
+        if epoch_mpjpe is not None:
+            info += f", MPJPE: {epoch_mpjpe:.5f}"
+            self.logger.scalar(f"{tag} epoch MPJPE", epoch_mpjpe, epoch)
+        else:
+            self.logger.scalar(f"{tag} epoch loss", means.get("loss", 0.0),
+                               epoch)
+        info += f" | {self.stats.summary()}"
+        self.logger.text(info)
+        return epoch_mpjpe
+
+    def run(self, fast_debug: bool = False,
+            max_epoch: Optional[int] = None) -> float:
+        """Full train/val loop; returns best val MPJPE."""
+        end = max_epoch if max_epoch is not None else self.cfg.max_epoch
+        for epoch in range(self.start_epoch, end):
+            self.run_epoch(epoch, "training", fast_debug)
+            val = self.run_epoch(epoch, "validation", fast_debug)
+            is_best = val is not None and val < self.best_mpjpe
+            if is_best:
+                self.best_mpjpe = val
+            save_checkpoint(os.path.abspath(self.run_dir), self.state,
+                            epoch + 1, self.best_mpjpe, is_best)
+        return self.best_mpjpe

@@ -1,0 +1,69 @@
+"""Keypoint / skeleton visualization.
+
+TPU-native equivalent of reference utils/plot_anno.py:9-83 and
+utils/vis.py:77-130: renders predicted vs GT 2-D keypoints and the hand
+skeleton onto images.  Uses cv2 drawing into numpy arrays (no matplotlib
+in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+# RHD-order skeleton edges (root -> finger chains), matching the bone
+# structure in reference utils/vis.py:77-130
+_EDGES_RHD = [(0, 4), (4, 3), (3, 2), (2, 1),
+              (0, 8), (8, 7), (7, 6), (6, 5),
+              (0, 12), (12, 11), (11, 10), (10, 9),
+              (0, 16), (16, 15), (15, 14), (14, 13),
+              (0, 20), (20, 19), (19, 18), (18, 17)]
+
+# MANO order (after the joint switch): chains run root-side -> tip
+_EDGES_MANO = [(0, 1), (1, 2), (2, 3), (3, 4),
+               (0, 5), (5, 6), (6, 7), (7, 8),
+               (0, 9), (9, 10), (10, 11), (11, 12),
+               (0, 13), (13, 14), (14, 15), (15, 16),
+               (0, 17), (17, 18), (18, 19), (19, 20)]
+
+
+def to_uint8_image(img: np.ndarray) -> np.ndarray:
+    """float image in [-0.5, 0.5] (the pipeline's convention) -> uint8."""
+    return np.clip((np.asarray(img) + 0.5) * 255.0, 0, 255).astype(np.uint8)
+
+
+def draw_keypoints(image: np.ndarray, uv: np.ndarray,
+                   vis: np.ndarray | None = None,
+                   color=(0, 255, 0), joint_order: str = "mano",
+                   radius: int = 2) -> np.ndarray:
+    """Draw 21 keypoints + skeleton; returns a copy."""
+    out = np.ascontiguousarray(image.copy())
+    edges = _EDGES_MANO if joint_order == "mano" else _EDGES_RHD
+    uv = np.asarray(uv)
+    v = (np.ones(len(uv), bool) if vis is None
+         else np.asarray(vis).reshape(-1).astype(bool))
+    for a, b in edges:
+        if v[a] and v[b]:
+            pa = tuple(np.round(uv[a]).astype(int))
+            pb = tuple(np.round(uv[b]).astype(int))
+            cv2.line(out, pa, pb, color, 1)
+    for i, p in enumerate(uv):
+        if v[i]:
+            cv2.circle(out, tuple(np.round(p).astype(int)), radius, color, -1)
+    return out
+
+
+def plot_pred_vs_gt(image: np.ndarray, pred_uv: np.ndarray,
+                    gt_uv: np.ndarray, vis: np.ndarray | None = None,
+                    joint_order: str = "mano") -> np.ndarray:
+    """GT in green, prediction in red (reference inference.py:217-225)."""
+    out = draw_keypoints(image, gt_uv, vis, (0, 255, 0), joint_order)
+    return draw_keypoints(out, pred_uv, vis, (255, 0, 0), joint_order)
+
+
+def save_image(path: str, image_rgb: np.ndarray) -> None:
+    cv2.imwrite(path, image_rgb[:, :, ::-1])
