@@ -172,3 +172,136 @@ def model_input(sample: dict, input_channels: int) -> jnp.ndarray:
     if input_channels == 3:
         return sample["image_crop"]
     raise ValueError("input_channels are not supported")
+
+
+class InterHandRawBatch(NamedTuple):
+    """Host-parsed InterHand2.6M raw inputs (annotations already remapped to
+    RHD joint order and metric units at parse time)."""
+
+    image: jnp.ndarray          # (B, H, W, 3) uint8 RGB
+    keypoint_uv: jnp.ndarray    # (B, 42, 2) float32 (truncated to int on use)
+    keypoint_vis: jnp.ndarray   # (B, 42) float/bool
+    keypoint_xyz: jnp.ndarray   # (B, 42, 3) float32 metres
+    camera_K: jnp.ndarray       # (B, 3, 3) float32
+    hand_left: jnp.ndarray      # (B,) bool: annotation hand_type == 'left'
+    bbox: jnp.ndarray           # (B, 4) int32 (x, y, w, h), pre-clamped
+
+
+@partial(jax.jit, static_argnames=("crop_size", "sigma", "use_wrist_coord",
+                                   "switch_joint_order", "calculate_scoremap",
+                                   "hand_crop"))
+def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
+                               sigma: float = 25.0,
+                               use_wrist_coord: bool = True,
+                               switch_joint_order: bool = True,
+                               calculate_scoremap: bool = True,
+                               hand_crop: bool = True) -> dict:
+    """Device-side InterHand2.6M pipeline
+    (reference dataloaderInterHand2M6.py:180-532, batched).
+
+    Differences from the RHD path: hand side comes from the annotation (no
+    segmentation mask), the crop window is the (pre-clamped) bbox, uv
+    coordinates are integer-truncated at load like the reference's
+    ``torch.tensor(..., dtype=torch.int32)``, and the right_hand_mask is the
+    bbox interior inset by 10 px (the reference fabricates it from a zero
+    mask, dataloaderInterHand2M6.py:477-489).
+    """
+    B, H, W, _ = raw.image.shape
+    image = raw.image.astype(jnp.float32) / 255.0 - 0.5
+    kp_uv = jnp.trunc(raw.keypoint_uv).astype(jnp.int32)
+    kp_vis = raw.keypoint_vis.reshape(B, -1).astype(bool)
+    kp_xyz = raw.keypoint_xyz.astype(jnp.float32)
+    K = raw.camera_K.astype(jnp.float32)
+
+    if not use_wrist_coord:
+        palm_l = 0.5 * (kp_xyz[:, 0] + kp_xyz[:, 12])
+        palm_r = 0.5 * (kp_xyz[:, 21] + kp_xyz[:, 33])
+        kp_xyz = kp_xyz.at[:, 0].set(palm_l).at[:, 21].set(palm_r)
+        palm_uv_l = (kp_uv[:, 0] + kp_uv[:, 12]) // 2
+        palm_uv_r = (kp_uv[:, 21] + kp_uv[:, 33]) // 2
+        kp_uv = kp_uv.at[:, 0].set(palm_uv_l).at[:, 21].set(palm_uv_r)
+        kp_vis = kp_vis.at[:, 0].set(kp_vis[:, 0] | kp_vis[:, 12])
+        kp_vis = kp_vis.at[:, 21].set(kp_vis[:, 21] | kp_vis[:, 33])
+
+    cond_left = raw.hand_left.astype(bool)
+    hand_side = jnp.where(cond_left, 0, 1)
+    cl3 = cond_left[:, None, None]
+    kp_xyz21 = jnp.where(cl3, kp_xyz[:, :21], kp_xyz[:, 21:])
+    kp_xyz21 = jnp.where(cl3, kp_xyz21 * jnp.asarray([-1.0, 1.0, 1.0]),
+                         kp_xyz21)
+    kp_vis21 = jnp.where(cond_left[:, None], kp_vis[:, :21], kp_vis[:, 21:])
+    kp_uv21 = jnp.where(cl3, kp_uv[:, :21], kp_uv[:, 21:])
+
+    root = kp_xyz21[:, 0, :]
+    rel = kp_xyz21 - root[:, None, :]
+    if use_wrist_coord:
+        scale = jnp.sqrt(jnp.sum(rel[:, 12, :] ** 2, axis=-1))
+    else:
+        scale = jnp.sqrt(jnp.sum((rel[:, 12, :] - rel[:, 11, :]) ** 2,
+                                 axis=-1))
+    rel_normed = rel / scale[:, None, None]
+    local = bone_rel_trafo(rel_normed)
+    can, rot = canonical_trafo(rel_normed)
+    rot_inv = jnp.swapaxes(rot, -1, -2)
+
+    image = jnp.where(cond_left[:, None, None, None],
+                      jnp.flip(image, axis=2), image)
+    u_mirr = jnp.where(cond_left[:, None], W - kp_uv21[:, :, 0],
+                       kp_uv21[:, :, 0])
+    kp_uv21 = jnp.stack([u_mirr, kp_uv21[:, :, 1]],
+                        axis=-1).astype(jnp.float32)
+
+    out = {
+        "image": image,
+        "hand_side": jax.nn.one_hot(hand_side, 2),
+        "keypoint_xyz21": kp_xyz21,
+        "keypoint_vis21": kp_vis21[..., None],
+        "keypoint_uv21": kp_uv21,
+        "keypoint_scale": scale[:, None],
+        "keypoint_xyz_root": root,
+        "keypoint_xyz21_rel_normed": rel_normed,
+        "keypoint_xyz21_local": local,
+        "kp_coord_xyz21_rel_can": can,
+        "rot_mat": rot_inv,
+        "camera_intrinsic_matrix": K,
+    }
+
+    if hand_crop:
+        from ..ops.crop import CropParams
+        x1 = raw.bbox[:, 0]
+        y1 = raw.bbox[:, 1]
+        w = raw.bbox[:, 2]
+        h = raw.bbox[:, 3]
+        params = CropParams(y1=y1, x1=x1, len_y=h, len_x=w,
+                            scale_y=crop_size / h.astype(jnp.float32),
+                            scale_x=crop_size / w.astype(jnp.float32))
+        out["image_crop"] = crop_resize_bilinear(image, params, crop_size)
+        # fabricated right_hand_mask: bbox interior inset by 10 px, nearest
+        # resized: out[i, j] = 1 iff floor(i*h/S) in [10, h-10)
+        offset = 10
+        o = jnp.arange(crop_size)
+        src_y = (o[None, :] * h[:, None]) // crop_size
+        src_x = (o[None, :] * w[:, None]) // crop_size
+        my = (src_y >= offset) & (src_y < (h - offset)[:, None])
+        mx = (src_x >= offset) & (src_x < (w - offset)[:, None])
+        out["right_hand_mask"] = (my[:, :, None] &
+                                  mx[:, None, :]).astype(jnp.float32)
+        kp_uv21 = crop_uv(kp_uv21, params)
+        out["keypoint_uv21"] = kp_uv21
+        out["camera_intrinsic_matrix"] = crop_intrinsics(K, params)
+    else:
+        out["right_hand_mask"] = jnp.zeros((B, H, W), jnp.float32)
+
+    if calculate_scoremap:
+        size = (crop_size, crop_size) if hand_crop else (H, W)
+        coords_hw = jnp.stack([kp_uv21[..., 1], kp_uv21[..., 0]], axis=-1)
+        out["scoremap"] = render_gaussian_maps(coords_hw, size, sigma,
+                                               kp_vis21)
+
+    if switch_joint_order:
+        perm = jnp.asarray(_SWITCH_PERM)
+        out["keypoint_vis21"] = out["keypoint_vis21"][:, perm]
+        out["keypoint_uv21"] = out["keypoint_uv21"][:, perm]
+        out["keypoint_xyz21"] = out["keypoint_xyz21"][:, perm]
+
+    return out

@@ -19,8 +19,9 @@ def cam2pixel(cam_coord: jnp.ndarray, f: jnp.ndarray,
               c: jnp.ndarray) -> jnp.ndarray:
     """(..., N, 3) cam -> (..., N, 3) of (u, v, z); f/c are (..., 2)."""
     z = cam_coord[..., 2]
-    x = cam_coord[..., 0] / z * f[..., None, 0] + c[..., None, 0]
-    y = cam_coord[..., 1] / z * f[..., None, 1] + c[..., None, 1]
+    # +1e-8 depth guard matches reference transforms.py:11-16
+    x = cam_coord[..., 0] / (z + 1e-8) * f[..., None, 0] + c[..., None, 0]
+    y = cam_coord[..., 1] / (z + 1e-8) * f[..., None, 1] + c[..., None, 1]
     return jnp.stack([x, y, z], axis=-1)
 
 

@@ -1,0 +1,64 @@
+"""InterHand2.6M parity: device preprocess vs reference __getitem__."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handpose_tpu.data.preprocess import (InterHandRawBatch,
+                                          preprocess_interhand_batch)
+
+
+@pytest.fixture(scope="module")
+def processed(fixtures):
+    raw = fixtures("interhand_raw")
+    batch = InterHandRawBatch(
+        image=jnp.asarray(raw["image"]),
+        keypoint_uv=jnp.asarray(raw["keypoint_uv"]),
+        keypoint_vis=jnp.asarray(raw["keypoint_vis"]),
+        keypoint_xyz=jnp.asarray(raw["keypoint_xyz"]),
+        camera_K=jnp.asarray(raw["camera_K"]),
+        hand_left=jnp.asarray(raw["hand_left"]).astype(bool),
+        bbox=jnp.asarray(raw["bbox"]),
+    )
+    return preprocess_interhand_batch(batch), fixtures("interhand_getitem")
+
+
+def test_core_coords(processed):
+    out, ref = processed
+    np.testing.assert_array_equal(out["hand_side"], ref["hand_side"])
+    np.testing.assert_allclose(out["keypoint_xyz21"], ref["keypoint_xyz21"],
+                               atol=1e-6)
+    np.testing.assert_allclose(out["keypoint_scale"], ref["keypoint_scale"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(out["keypoint_xyz21_rel_normed"],
+                               ref["keypoint_xyz21_rel_normed"], atol=1e-5)
+    np.testing.assert_allclose(out["keypoint_xyz21_local"],
+                               ref["keypoint_xyz21_local"], atol=1e-4)
+    np.testing.assert_allclose(out["kp_coord_xyz21_rel_can"],
+                               ref["kp_coord_xyz21_rel_can"], atol=1e-4)
+    np.testing.assert_allclose(out["rot_mat"], ref["rot_mat"], atol=1e-4)
+
+
+def test_uv_vis(processed):
+    out, ref = processed
+    np.testing.assert_array_equal(
+        np.asarray(out["keypoint_vis21"], np.float32), ref["keypoint_vis21"])
+    np.testing.assert_allclose(out["keypoint_uv21"], ref["keypoint_uv21"],
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_crop_and_mask(processed):
+    out, ref = processed
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out["image_crop"]), (0, 3, 1, 2)),
+        ref["image_crop"], atol=1e-5)
+    np.testing.assert_array_equal(out["right_hand_mask"],
+                                  ref["right_hand_mask"])
+
+
+def test_intrinsics_scoremap(processed):
+    out, ref = processed
+    np.testing.assert_allclose(out["camera_intrinsic_matrix"],
+                               ref["camera_intrinsic_matrix"], rtol=1e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(out["scoremap"], ref["scoremap"], atol=1e-5)

@@ -61,6 +61,9 @@ tv = _stub("torchvision")
 tv_t = _stub("torchvision.transforms", Resize=object)
 _stub("torchvision.transforms.functional")
 _stub("torchvision.models")
+_stub("pycocotools")
+_stub("pycocotools.coco", COCO=object)
+_stub("scipy.io", loadmat=None) if "scipy.io" not in sys.modules else None
 
 sys.path.insert(0, REF)
 
@@ -314,3 +317,75 @@ raw = ours_ds.raw_batch(list(range(6)))
 save("rhd_raw", image=raw.image, mask=raw.mask, keypoint_uv=raw.keypoint_uv,
      keypoint_vis=raw.keypoint_vis.astype(np.float32),
      keypoint_xyz=raw.keypoint_xyz, camera_K=raw.camera_K)
+
+# ---- InterHand2.6M __getitem__ parity ------------------------------------
+# The reference class hardcodes its dataset root (dataloaderInterHand2M6.py
+# :46) and is missing the `F` import (bit-rot); construct it via __new__
+# with manually-filled attributes and inject torch.nn.functional.
+import torch.nn.functional as _F
+import dataloader.InterHand2M6.dataloaderInterHand2M6 as ih_mod
+
+ih_mod.F = _F
+from handpose_tpu.data.interhand import (InterHandDataset,
+                                         write_synthetic_interhand)
+
+ih_tmp = tempfile.mkdtemp(prefix="ih_mini_")
+write_synthetic_interhand(ih_tmp, "val", n=6, seed=11)
+ours_ih = InterHandDataset(ih_tmp, "val", input_img_shape=(256, 256))
+
+ref_ih = object.__new__(ih_mod.InterHand2M6Dataset)
+ref_ih.mode = "val"
+ref_ih.joint_num = 21
+ref_ih.root_joint_idx = {"right": 20, "left": 41}
+ref_ih.joint_type = {"right": np.arange(0, 21), "left": np.arange(21, 42)}
+ref_ih.sigma = 25.0
+ref_ih.shuffle = False
+ref_ih.use_wrist_coord = True
+ref_ih.random_crop_to_size = False
+ref_ih.random_crop_size = 256
+ref_ih.scale_to_size = False
+ref_ih.scale_target_size = (240, 320)
+ref_ih.hue_aug = False
+ref_ih.hue_aug_max = 0.1
+ref_ih.hand_crop = True
+ref_ih.coord_uv_noise = False
+ref_ih.coord_uv_noise_sigma = 2.5
+ref_ih.crop_center_noise = False
+ref_ih.crop_center_noise_sigma = 20.0
+ref_ih.crop_scale_noise = False
+ref_ih.crop_offset_noise = False
+ref_ih.crop_offset_noise_sigma = 10.0
+ref_ih.calculate_scoremap = True
+ref_ih.scoremap_dropout = False
+ref_ih.scoremap_dropout_prob = 0.8
+ref_ih.image_size = (320, 320)
+ref_ih.crop_size = 256
+ref_ih.num_kp = 42
+# datalist in the reference schema, from our (independently parsed) list
+ref_ih.datalist = [{
+    "img_path": d["img_path"],
+    "bbox": d["bbox"].copy(),
+    "joint": {"cam_coord": d["joint_cam"], "img_coord": d["joint_img"],
+              "valid": d["joint_valid"]},
+    "hand_type": d["hand_type"],
+    "hand_type_valid": 1.0,
+    "cam_param": {"focal": d["focal"], "princpt": d["princpt"]},
+} for d in ours_ih.datalist]
+
+keys_ih = ["image", "image_crop", "keypoint_vis21", "keypoint_uv21",
+           "keypoint_xyz21", "keypoint_scale", "keypoint_xyz_root",
+           "keypoint_xyz21_rel_normed", "keypoint_xyz21_local",
+           "kp_coord_xyz21_rel_can", "rot_mat", "scoremap",
+           "camera_intrinsic_matrix", "right_hand_mask", "hand_side"]
+acc = {k: [] for k in keys_ih}
+for i in range(len(ref_ih.datalist)):
+    s = ref_ih[i]
+    for k in keys_ih:
+        acc[k].append(np.asarray(s[k], dtype=np.float32))
+save("interhand_getitem", **{k: np.stack(v) for k, v in acc.items()})
+
+raw_ih = ours_ih.raw_batch(list(range(6)))
+save("interhand_raw", image=raw_ih.image, keypoint_uv=raw_ih.keypoint_uv,
+     keypoint_vis=raw_ih.keypoint_vis, keypoint_xyz=raw_ih.keypoint_xyz,
+     camera_K=raw_ih.camera_K,
+     hand_left=raw_ih.hand_left.astype(np.float32), bbox=raw_ih.bbox)
