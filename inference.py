@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Inference / evaluation entry point (reference inference.py, un-bit-rotted).
+
+Loads a checkpoint, evaluates visible-joint MPJPE over the eval split with
+exact whole-epoch aggregation (the reference averaged only the last batch,
+inference.py:241-242), and optionally renders predicted-vs-GT overlays.
+
+The model can be named explicitly or derived from the checkpoint path's
+logs/<model>/<dataset>/run_x/ layout like the reference (inference.py:38).
+"""
+
+import argparse
+
+from handpose_tpu.config import Config, MODEL_NAMES
+from handpose_tpu.infer import Evaluator, model_name_from_path
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (orbax) to load")
+    p.add_argument("--model", default=None, choices=MODEL_NAMES)
+    p.add_argument("--dataset", default="RHD",
+                   choices=["RHD", "InterHand2.6M", "synthetic"])
+    p.add_argument("--data_root", default="/data/RHD")
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--input_channels", type=int, default=None)
+    p.add_argument("--visualize_dir", default=None)
+    p.add_argument("--visualize_n", type=int, default=8)
+    p.add_argument("--max_batches", type=int, default=None)
+    args = p.parse_args()
+
+    model = args.model
+    if model is None and args.ckpt:
+        model = model_name_from_path(args.ckpt)
+    if model is None:
+        model = "Hand3DPosePriorNetwork"
+    in_ch = args.input_channels
+    if in_ch is None:
+        in_ch = {"Hand3DPosePriorNetwork": 21,
+                 "ThreeHandShapeAndPoseMANO": 24,
+                 "Resnet50MANO3DHandPose": 24}.get(model, 3)
+
+    cfg = Config(model_name=model, dataset_name=args.dataset,
+                 dataset_root_dir=args.data_root,
+                 infer_batch_size=args.batch_size, input_channels=in_ch,
+                 infer_resume_weight_path=args.ckpt)
+    ev = Evaluator(cfg, ckpt_path=args.ckpt,
+                   visualize_dir=args.visualize_dir)
+    mpjpe = ev.evaluate(max_batches=args.max_batches,
+                        visualize_first_n=args.visualize_n
+                        if args.visualize_dir else 0)
+    print(f"visible-joint MPJPE: {mpjpe:.5f} mm")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Training entry point (reference trainval.py / trainval_hand3DPose.py).
+
+One CLI covers both reference trainers -- the trainer-B models
+(Hand3DPoseNet / Hand3DPosePriorNetwork) switch loss/eval paths
+automatically.  Flags mirror the reference (`--fast_debug`) plus explicit
+overrides for what the reference hardcoded in config.py.
+
+Examples:
+  python trainval.py --model OnlyThreeDimHandPose --fake_data --fast_debug
+  python trainval.py --model Hand3DPosePriorNetwork \
+      --dataset RHD --data_root /data/RHD --batch_size 200
+"""
+
+import argparse
+
+from handpose_tpu.config import Config, MODEL_NAMES
+from handpose_tpu.train import Worker
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="Hand3DPosePriorNetwork",
+                   choices=MODEL_NAMES)
+    p.add_argument("--dataset", default="RHD",
+                   choices=["RHD", "InterHand2.6M", "synthetic"])
+    p.add_argument("--data_root", default="/data/RHD")
+    p.add_argument("--batch_size", type=int, default=200)
+    p.add_argument("--input_channels", type=int, default=None,
+                   help="3 | 21 | 24 (default: per-model convention)")
+    p.add_argument("--max_epoch", type=int, default=60)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--fast_debug", action="store_true",
+                   help="truncate every epoch to 3 iterations "
+                        "(reference trainval.py:271-272)")
+    p.add_argument("--fake_data", action="store_true",
+                   help="synthetic half-bright image + fixed GT pose "
+                        "(reference trainval_fake)")
+    p.add_argument("--use_val_to_debug", action="store_true")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--log_dir", default="logs")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    # per-model default input channels (reference config.py:44 conventions)
+    in_ch = args.input_channels
+    if in_ch is None:
+        in_ch = {"Hand3DPosePriorNetwork": 21,
+                 "ThreeHandShapeAndPoseMANO": 24,
+                 "Resnet50MANO3DHandPose": 24}.get(args.model, 3)
+
+    cfg = Config(
+        model_name=args.model,
+        dataset_name="synthetic" if args.fake_data else args.dataset,
+        dataset_root_dir=args.data_root,
+        batch_size=args.batch_size,
+        input_channels=in_ch,
+        max_epoch=args.max_epoch,
+        lr=args.lr,
+        use_fake_data=args.fake_data,
+        use_val_dataset_to_debug=args.use_val_to_debug,
+        resume_weight_path=args.resume,
+        save_log_dir=args.log_dir,
+        seed=args.seed,
+    )
+    worker = Worker(cfg)
+    best = worker.run(fast_debug=args.fast_debug)
+    print(f"best val MPJPE: {best:.5f}")
+
+
+if __name__ == "__main__":
+    main()
