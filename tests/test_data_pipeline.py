@@ -55,3 +55,23 @@ def test_fake_sample_batch_contract():
     R = np.asarray(s["rot_mat"])
     np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
                                np.broadcast_to(np.eye(3), R.shape), atol=1e-5)
+
+
+def test_host_shard_sampler():
+    from handpose_tpu.parallel.distributed import HostShardSampler
+
+    samplers = [HostShardSampler(103, global_batch_size=16, process_index=r,
+                                 process_count=4, shuffle=True, seed=1)
+                for r in range(4)]
+    all_idx = np.concatenate([s.epoch_indices(epoch=2) for s in samplers])
+    # disjoint coverage, common truncated length
+    assert len(all_idx) == 96
+    assert len(set(all_idx.tolist())) == 96
+    for s in samplers:
+        batches = list(s.local_batches(epoch=2))
+        assert all(len(b) == 4 for b in batches)
+        assert len(batches) == 6
+    # same epoch -> same permutation on every host
+    a = samplers[0].epoch_indices(2)
+    b = HostShardSampler(103, 16, 0, 4, True, 1).epoch_indices(2)
+    np.testing.assert_array_equal(a, b)
