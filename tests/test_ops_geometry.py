@@ -120,3 +120,14 @@ def test_camera_conversions_roundtrip():
     pix = ops.cam2pixel(cam, focal, princ)
     back = ops.pixel2cam(pix, focal, princ)
     np.testing.assert_allclose(back, cam, rtol=1e-5, atol=1e-5)
+
+
+def test_scoremap_pallas_interpret(fixtures):
+    """Pallas kernel (interpret mode on CPU) matches the jnp renderer."""
+    from handpose_tpu.ops.pallas_kernels import render_gaussian_maps_pallas
+
+    f = fixtures("scoremap")
+    maps = render_gaussian_maps_pallas(
+        jnp.asarray(f["coords_hw"]), (256, 256), 25.0,
+        jnp.asarray(f["vis"]), interpret=True)
+    np.testing.assert_allclose(maps, f["maps"], atol=1e-5)
