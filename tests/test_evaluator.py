@@ -1,0 +1,44 @@
+"""Evaluator harness tests (synthetic backend)."""
+
+import os
+
+import numpy as np
+
+from handpose_tpu.config import Config
+from handpose_tpu.infer import Evaluator, model_name_from_path
+
+
+def test_model_name_from_path():
+    p = "logs/MANO3DHandPose/RHD/run_2024/model_best"
+    assert model_name_from_path(p) == "MANO3DHandPose"
+
+
+def test_evaluator_synthetic(tmp_path):
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="synthetic", infer_batch_size=8,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128)
+    ev = Evaluator(cfg, visualize_dir=str(tmp_path))
+    mpjpe = ev.evaluate(max_batches=2, visualize_first_n=2)
+    assert np.isfinite(mpjpe) and mpjpe > 0
+    imgs = os.listdir(tmp_path / "img")
+    assert len(imgs) == 2
+
+
+def test_evaluator_trains_then_improves(tmp_path):
+    """Checkpoint round trip through the evaluator: a trained model must
+    evaluate better than an untrained one on the fixed fake data."""
+    from handpose_tpu.train import Worker
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="synthetic", use_fake_data=True,
+                 batch_size=8, infer_batch_size=8, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128, max_epoch=2,
+                 save_log_dir=str(tmp_path))
+    w = Worker(cfg)
+    w.run(fast_debug=True)
+    ckpt = os.path.join(os.path.abspath(w.run_dir), "checkpoint")
+    assert os.path.isdir(ckpt)
+
+    base = Evaluator(cfg).evaluate(max_batches=1)
+    trained = Evaluator(cfg, ckpt_path=ckpt).evaluate(max_batches=1)
+    assert trained < base
