@@ -46,13 +46,19 @@ def prefetch(iterator, depth: int = 2):
 def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
                    sigma: float = 25.0, switch_joint_order: bool = True,
                    sharding: Optional[jax.sharding.Sharding] = None,
-                   prefetch_depth: int = 2) -> Iterator[dict]:
+                   prefetch_depth: int = 2,
+                   aug_rng: Optional[jax.Array] = None,
+                   aug_flags: Optional[dict] = None) -> Iterator[dict]:
     """raw host batches -> preprocessed device sample dicts.
 
     With ``sharding`` given, the raw batch is placed batch-sharded across
     the mesh's data axis before preprocessing, so the geometry pipeline
-    itself runs data-parallel.
+    itself runs data-parallel.  ``aug_flags`` (coord_uv_noise,
+    crop_center_noise, crop_scale_noise, crop_offset_noise,
+    scoremap_dropout, hue_aug) enable train-time augmentations; ``aug_rng``
+    seeds them, split fresh per batch.
     """
+    flags = aug_flags or {}
 
     def to_device(raw: RawBatch) -> RawBatch:
         if sharding is None:
@@ -60,7 +66,12 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
         return jax.tree.map(lambda a: jax.device_put(np.asarray(a), sharding),
                             raw)
 
+    rng = aug_rng
     for raw in prefetch(raw_iter, prefetch_depth):
         raw_dev = to_device(raw)
+        batch_rng = None
+        if rng is not None and any(flags.values()):
+            rng, batch_rng = jax.random.split(rng)
         yield preprocess_batch(raw_dev, crop_size=crop_size, sigma=sigma,
-                               switch_joint_order=switch_joint_order)
+                               switch_joint_order=switch_joint_order,
+                               rng=batch_rng, **flags)

@@ -46,17 +46,39 @@ _SWITCH_PERM = [0] + [i + d for i in (1, 5, 9, 13, 17) for d in (3, 2, 1, 0)]
 
 @partial(jax.jit, static_argnames=("crop_size", "sigma", "use_wrist_coord",
                                    "switch_joint_order", "calculate_scoremap",
-                                   "hand_crop"))
+                                   "hand_crop", "coord_uv_noise",
+                                   "crop_center_noise", "crop_scale_noise",
+                                   "crop_offset_noise", "scoremap_dropout",
+                                   "hue_aug"))
 def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      use_wrist_coord: bool = True,
                      switch_joint_order: bool = True,
                      calculate_scoremap: bool = True,
-                     hand_crop: bool = True) -> dict:
+                     hand_crop: bool = True,
+                     rng: jnp.ndarray | None = None,
+                     coord_uv_noise: bool = False,
+                     crop_center_noise: bool = False,
+                     crop_scale_noise: bool = False,
+                     crop_offset_noise: bool = False,
+                     scoremap_dropout: bool = False,
+                     hue_aug: bool = False) -> dict:
     """(B, ...) raw inputs -> the reference sample-dict contract, batched.
 
     Returns a dict with the keys consumed at reference trainval.py:276-291
     plus the canonical/local extras.
+
+    Augmentations mirror the reference's config flags (all default off,
+    reference config.py:20-26): uv coordinate noise (sigma 2.5 px), crop
+    center/scale/offset jitter, scoremap dropout (p=0.8, rescaled like
+    torch F.dropout then *p), and hue augmentation (which the reference
+    declares but never implemented -- here a YIQ-space hue rotation of up
+    to +-0.1 turns).  Pass ``rng`` when any flag is on.
     """
+    aug_on = (coord_uv_noise or crop_center_noise or crop_scale_noise or
+              crop_offset_noise or scoremap_dropout or hue_aug)
+    if aug_on:
+        assert rng is not None, "augmentations need an rng key"
+        rngs = list(jax.random.split(rng, 6))
     B, H, W, _ = raw.image.shape
     image = raw.image.astype(jnp.float32) / 255.0 - 0.5
     kp_uv = raw.keypoint_uv.astype(jnp.float32)
@@ -73,6 +95,13 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
         kp_uv = kp_uv.at[:, 0].set(palm_uv_l).at[:, 21].set(palm_uv_r)
         kp_vis = kp_vis.at[:, 0].set(kp_vis[:, 0] | kp_vis[:, 12])
         kp_vis = kp_vis.at[:, 21].set(kp_vis[:, 21] | kp_vis[:, 33])
+
+    if coord_uv_noise:
+        # reference dataloaderRHD.py:102-104 (sigma 2.5 px on all 42 kps)
+        kp_uv = kp_uv + 2.5 * jax.random.normal(rngs[0], kp_uv.shape)
+    if hue_aug:
+        image = yiq_hue_rotate(image, jax.random.uniform(
+            rngs[1], (B,), minval=-0.1, maxval=0.1))
 
     # dominant-hand selection from the segmentation mask
     # (reference dataloaderRHD.py:171-201)
@@ -135,7 +164,15 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     }
 
     if hand_crop:
-        params = compute_crop_params(kp_uv21, kp_vis21, (H, W), crop_size)
+        center_noise = scale_noise = offset_noise = None
+        if crop_center_noise:   # dataloaderRHD.py:304-306
+            center_noise = 20.0 * jax.random.normal(rngs[2], (B, 2))
+        if crop_scale_noise:    # dataloaderRHD.py:308-310
+            scale_noise = jax.random.uniform(rngs[3], (B,)) * 0.2 + 1.0
+        if crop_offset_noise:   # dataloaderRHD.py:359-361
+            offset_noise = 10.0 * jax.random.normal(rngs[4], (B, 2))
+        params = compute_crop_params(kp_uv21, kp_vis21, (H, W), crop_size,
+                                     center_noise, scale_noise, offset_noise)
         out["image_crop"] = crop_resize_bilinear(image, params, crop_size)
         rhm = crop_resize_nearest(right_hand_mask.astype(jnp.float32),
                                   params, crop_size)
@@ -149,8 +186,14 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     if calculate_scoremap:
         size = (crop_size, crop_size) if hand_crop else (H, W)
         coords_hw = jnp.stack([kp_uv21[..., 1], kp_uv21[..., 0]], axis=-1)
-        out["scoremap"] = render_gaussian_maps(coords_hw, size, sigma,
-                                               kp_vis21)
+        scoremap = render_gaussian_maps(coords_hw, size, sigma, kp_vis21)
+        if scoremap_dropout:
+            # torch F.dropout(p=0.8) then *0.8 (dataloaderRHD.py:357-361):
+            # kept elements end up scaled by p/(1-p) = 4
+            p = 0.8
+            keep = jax.random.bernoulli(rngs[5], 1.0 - p, scoremap.shape)
+            scoremap = scoremap * keep / (1.0 - p) * p
+        out["scoremap"] = scoremap
 
     if switch_joint_order:
         perm = jnp.asarray(_SWITCH_PERM)
@@ -159,6 +202,39 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
         out["keypoint_xyz21"] = out["keypoint_xyz21"][:, perm]
 
     return out
+
+
+def yiq_hue_rotate(image: jnp.ndarray, turns: jnp.ndarray) -> jnp.ndarray:
+    """Hue rotation in YIQ space, batched; ``turns`` in fraction of a full
+    rotation (the reference's hue_aug_max is 0.1).  Operates on the
+    pipeline's [-0.5, 0.5] image range."""
+    theta = turns * 2.0 * jnp.pi
+    rgb = image + 0.5
+    to_yiq = jnp.asarray([[0.299, 0.587, 0.114],
+                          [0.596, -0.274, -0.322],
+                          [0.211, -0.523, 0.312]], jnp.float32)
+    from_yiq = jnp.linalg.inv(to_yiq)
+    yiq = jnp.einsum("ij,bhwj->bhwi", to_yiq, rgb)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    i = yiq[..., 1] * c[:, None, None] - yiq[..., 2] * s[:, None, None]
+    q = yiq[..., 1] * s[:, None, None] + yiq[..., 2] * c[:, None, None]
+    yiq = jnp.stack([yiq[..., 0], i, q], axis=-1)
+    out = jnp.einsum("ij,bhwj->bhwi", from_yiq, yiq)
+    return jnp.clip(out, 0.0, 1.0) - 0.5
+
+
+def scale_to_size(sample: dict, target_hw: tuple[int, int]) -> dict:
+    """Resize the full image + uv to ``target_hw``
+    (reference dataloaderRHD.py scale_to_size branch; like the reference it
+    returns only image/uv/vis)."""
+    image = sample["image"]
+    B, H, W, C = image.shape
+    th, tw = target_hw
+    resized = jax.image.resize(image, (B, th, tw, C), method="bilinear")
+    uv = sample["keypoint_uv21"]
+    uv = jnp.stack([uv[..., 0] * (tw / W), uv[..., 1] * (th / H)], axis=-1)
+    return {"image": resized, "keypoint_uv21": uv,
+            "keypoint_vis21": sample["keypoint_vis21"]}
 
 
 def model_input(sample: dict, input_channels: int) -> jnp.ndarray:

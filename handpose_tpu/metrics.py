@@ -31,3 +31,32 @@ def masked_sum_count(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
     dist = jnp.sqrt(jnp.sum((pred_xyz - gt_xyz) ** 2, axis=2))
     v = keypoint_vis.reshape(dist.shape).astype(dist.dtype)
     return jnp.sum(dist * v) * 1000.0, jnp.sum(v)
+
+
+def pck(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
+        keypoint_vis: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Percentage of correct keypoints at each threshold (metres).
+
+    Extension beyond the reference (which reports only MPJPE): the standard
+    RHD evaluation protocol's PCK curve over visible joints.
+
+    Args:
+      thresholds: (T,) error thresholds in metres.
+    Returns:
+      (T,) fraction of visible joints with error < threshold.
+    """
+    dist = jnp.sqrt(jnp.sum((pred_xyz - gt_xyz) ** 2, axis=2))
+    v = keypoint_vis.reshape(dist.shape).astype(dist.dtype)
+    n = jnp.maximum(jnp.sum(v), 1.0)
+    correct = (dist[None, ...] < thresholds[:, None, None]).astype(dist.dtype)
+    return jnp.sum(correct * v[None], axis=(1, 2)) / n
+
+
+def auc_pck(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
+            keypoint_vis: jnp.ndarray, lo: float = 0.02, hi: float = 0.05,
+            steps: int = 31) -> jnp.ndarray:
+    """Area under the PCK curve between ``lo`` and ``hi`` metres (the
+    standard 20-50 mm RHD protocol), trapezoidal."""
+    ts = jnp.linspace(lo, hi, steps)
+    curve = pck(pred_xyz, gt_xyz, keypoint_vis, ts)
+    return jnp.trapezoid(curve, ts) / (hi - lo)

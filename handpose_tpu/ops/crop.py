@@ -36,7 +36,11 @@ class CropParams(NamedTuple):
 def compute_crop_params(keypoint_uv21: jnp.ndarray,
                         keypoint_vis21: jnp.ndarray,
                         image_hw: tuple[int, int],
-                        crop_size: int) -> CropParams:
+                        crop_size: int,
+                        center_noise: jnp.ndarray | None = None,
+                        scale_noise: jnp.ndarray | None = None,
+                        offset_noise: jnp.ndarray | None = None
+                        ) -> CropParams:
     """Reproduce reference dataloaderRHD.py:297-343 (window selection).
 
     Args:
@@ -44,6 +48,13 @@ def compute_crop_params(keypoint_uv21: jnp.ndarray,
       keypoint_vis21: (B, 21) or (B, 21, 1) bool.
       image_hw: static (H, W) of the source image.
       crop_size: static output size (256).
+      center_noise: optional (B, 2) (y, x) noise added to the crop center
+        before the extent computation (crop_center_noise,
+        dataloaderRHD.py:304-306).
+      scale_noise: optional (B,) multiplicative scale jitter in [1.0, 1.2]
+        (crop_scale_noise, dataloaderRHD.py:308-310).
+      offset_noise: optional (B, 2) noise added after the size computation
+        (crop_offset_noise, dataloaderRHD.py:359-361).
     """
     H, W = image_hw
     u = keypoint_uv21[..., 0]
@@ -58,6 +69,9 @@ def compute_crop_params(keypoint_uv21: jnp.ndarray,
     has_in = n_in > 0
     center_y = jnp.where(has_in, mean_v, crop_size / 2.0)
     center_x = jnp.where(has_in, mean_u, crop_size / 2.0)
+    if center_noise is not None:
+        center_y = center_y + center_noise[:, 0]
+        center_x = center_x + center_noise[:, 1]
 
     # crop extent: min/max over *visible* keypoints (y=v, x=u),
     # clamped to [0, image_size] (dataloaderRHD.py:311-320)
@@ -79,6 +93,11 @@ def compute_crop_params(keypoint_uv21: jnp.ndarray,
     crop_size_best = jnp.clip(crop_size_best, 50.0, 500.0)
 
     scale = jnp.clip(crop_size / crop_size_best, 1.0, 10.0)
+    if scale_noise is not None:
+        scale = scale * scale_noise
+    if offset_noise is not None:
+        center_y = center_y + offset_noise[:, 0]
+        center_x = center_x + offset_noise[:, 1]
     # int() truncation of python / torch (dataloaderRHD.py:364)
     css = jnp.trunc(crop_size / scale).astype(jnp.int32)
 

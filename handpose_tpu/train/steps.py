@@ -82,7 +82,9 @@ def compute_losses(out, batch, cfg: Config) -> Dict[str, jnp.ndarray]:
 
 
 def make_train_step(model, cfg: Config):
-    @jax.jit
+    # donate the state: params/opt buffers are updated in place on device,
+    # halving peak HBM for the update step
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
             out, new_bs = _forward(model.apply, params, state.batch_stats,

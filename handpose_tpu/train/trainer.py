@@ -115,13 +115,23 @@ class Worker:
                                         cfg.input_channels, seed * 1000 + i)
             return
         ds = self.train_ds if split == "training" else self.val_ds
-        shuffle = split == "training" and cfg.shuffle \
+        is_train = split == "training"
+        shuffle = is_train and cfg.shuffle \
             and not cfg.use_val_dataset_to_debug
+        aug_flags = dict(coord_uv_noise=cfg.coord_uv_noise,
+                         crop_center_noise=cfg.crop_center_noise,
+                         crop_scale_noise=cfg.crop_scale_noise,
+                         crop_offset_noise=cfg.crop_offset_noise,
+                         scoremap_dropout=cfg.scoremap_dropout,
+                         hue_aug=cfg.hue_aug) if is_train else None
+        aug_rng = jax.random.PRNGKey(cfg.seed * 7919 + seed) \
+            if is_train else None
         yield from device_batches(
             ds.batches(cfg.batch_size, shuffle=shuffle, seed=seed),
             crop_size=cfg.crop_size, sigma=cfg.sigma,
             switch_joint_order=cfg.joint_order_switched,
-            prefetch_depth=cfg.prefetch_depth)
+            prefetch_depth=cfg.prefetch_depth,
+            aug_rng=aug_rng, aug_flags=aug_flags)
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, split: str, fast_debug: bool = False):

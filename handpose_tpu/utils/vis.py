@@ -67,3 +67,46 @@ def plot_pred_vs_gt(image: np.ndarray, pred_uv: np.ndarray,
 
 def save_image(path: str, image_rgb: np.ndarray) -> None:
     cv2.imwrite(path, image_rgb[:, :, ::-1])
+
+
+def load_skeleton(path: str, joint_num: int):
+    """Parse an InterHand-style skeleton.txt into per-joint parent/children
+    (reference utils/preprocessing.py:15-31)."""
+    skeleton = [{} for _ in range(joint_num)]
+    with open(path) as fp:
+        for line in fp:
+            if line.startswith("#"):
+                continue
+            name, jid, pid = line.split(" ")
+            jid, pid = int(jid), int(pid)
+            skeleton[jid]["name"] = name
+            skeleton[jid]["parent_id"] = pid
+    for i in range(joint_num):
+        skeleton[i]["child_id"] = [j for j in range(joint_num)
+                                   if skeleton[j].get("parent_id") == i]
+    return skeleton
+
+
+def plot_3d_keypoints(xyz: np.ndarray, save_path: str,
+                      vis: np.ndarray | None = None,
+                      joint_order: str = "mano") -> None:
+    """Save a 3-D skeleton plot (reference utils/vis.py vis_3d_keypoints
+    analogue; matplotlib, off the hot path)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xyz = np.asarray(xyz)
+    v = (np.ones(len(xyz), bool) if vis is None
+         else np.asarray(vis).reshape(-1).astype(bool))
+    edges = _EDGES_MANO if joint_order == "mano" else _EDGES_RHD
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(xyz[v, 0], xyz[v, 1], xyz[v, 2], c="g", s=12)
+    for a, b in edges:
+        if v[a] and v[b]:
+            ax.plot([xyz[a, 0], xyz[b, 0]], [xyz[a, 1], xyz[b, 1]],
+                    [xyz[a, 2], xyz[b, 2]], "b-", linewidth=1)
+    ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
+    fig.savefig(save_path, dpi=80, bbox_inches="tight")
+    plt.close(fig)

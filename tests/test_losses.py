@@ -65,3 +65,38 @@ def test_contrastive_matches_torch():
     ours = contrastive_loss(jnp.asarray(f1), jnp.asarray(f2),
                             jnp.asarray(label))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_pck_and_auc(fixtures):
+    import jax.numpy as jnp
+    from handpose_tpu.metrics import auc_pck, pck
+
+    f = fixtures("losses")
+    pred = jnp.asarray(f["pre_xyz"])
+    vis = jnp.asarray(f["vis"])
+    # identical prediction -> PCK 1 everywhere, AUC 1
+    ts = jnp.asarray([0.01, 0.02])
+    np.testing.assert_allclose(pck(pred, pred, vis, ts), 1.0)
+    np.testing.assert_allclose(auc_pck(pred, pred, vis), 1.0, atol=1e-6)
+    # far-off prediction -> 0
+    np.testing.assert_allclose(pck(pred + 10.0, pred, vis, ts), 0.0)
+    # monotone in threshold
+    gt = jnp.asarray(f["gt_xyz"])
+    curve = np.asarray(pck(pred, gt, vis, jnp.linspace(0.01, 2.0, 10)))
+    assert np.all(np.diff(curve) >= 0)
+
+
+def test_plot_3d_keypoints(tmp_path, fixtures):
+    from handpose_tpu.utils.vis import load_skeleton, plot_3d_keypoints
+
+    f = fixtures("losses")
+    out = tmp_path / "kp3d.png"
+    plot_3d_keypoints(f["pre_xyz"][0], str(out), f["vis"][0])
+    assert out.exists() and out.stat().st_size > 0
+
+    sk_path = tmp_path / "skeleton.txt"
+    sk_path.write_text("# c\n" + "".join(f"j{j} {j} {j-1}\n"
+                                         for j in range(5)))
+    sk = load_skeleton(str(sk_path), 5)
+    assert sk[0]["child_id"] == [1]
+    assert sk[3]["parent_id"] == 2
