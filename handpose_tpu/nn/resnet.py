@@ -44,14 +44,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), self.strides)(x)
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=((1, 1), (1, 1)))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)))(y)
         y = self.norm(scale_init=nn.initializers.ones)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1), self.strides,
-                                 name="conv_proj")(residual)
+                                 padding="VALID", name="conv_proj")(residual)
             residual = self.norm(name="norm_proj")(residual)
         return nn.relu(residual + y)
 
@@ -68,14 +69,15 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), self.strides)(y)
+        y = self.conv(self.filters, (3, 3), self.strides,
+                      padding=((1, 1), (1, 1)))(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
         y = self.norm(scale_init=nn.initializers.ones)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters * 4, (1, 1), self.strides,
-                                 name="conv_proj")(residual)
+                                 padding="VALID", name="conv_proj")(residual)
             residual = self.norm(name="norm_proj")(residual)
         return nn.relu(residual + y)
 
@@ -102,9 +104,11 @@ class ResNet(nn.Module):
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         if self.stem == "k3s2":
-            x = conv(self.num_filters, (3, 3), (2, 2), name="conv_init")(x)
+            x = conv(self.num_filters, (3, 3), (2, 2),
+                     padding=((1, 1), (1, 1)), name="conv_init")(x)
         elif self.stem == "k7s2":
-            x = conv(self.num_filters, (7, 7), (2, 2), name="conv_init")(x)
+            x = conv(self.num_filters, (7, 7), (2, 2),
+                     padding=((3, 3), (3, 3)), name="conv_init")(x)
         else:
             raise ValueError(self.stem)
         x = norm(name="bn_init")(x)
@@ -188,9 +192,11 @@ class ResNetMano(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         if self.input_channel == 24:
-            x = conv(64, (7, 7), (2, 2), name="conv11")(x)
+            x = conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                     name="conv11")(x)
         elif self.input_channel == 3:
-            x = conv(64, (7, 7), (2, 2), name="conv1")(x[..., 0:3])
+            x = conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                     name="conv1")(x[..., 0:3])
         else:
             raise ValueError("input_channel should be 3 or 24")
         x = norm(name="bn1")(x)
