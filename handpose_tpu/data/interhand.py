@@ -83,8 +83,12 @@ class InterHandDataset:
         if set_type in ("val", "test") and trans_test == "rootnet":
             p = osp.join(root_dir, "rootnet_output",
                          f"rootnet_interhand2.6m_output_{set_type}.json")
-            with open(p) as f:
-                rootnet = {str(a["annot_id"]): a for a in json.load(f)}
+            if osp.exists(p):
+                with open(p) as f:
+                    rootnet = {str(a["annot_id"]): a for a in json.load(f)}
+            else:
+                print(f"rootnet output {p} not found; "
+                      "falling back to GT bboxes")
 
         self.datalist = []
         cap = _FAST_CAPS[set_type] if fast_trainval else None

@@ -18,7 +18,8 @@ from typing import Iterator, Optional
 import jax
 import numpy as np
 
-from .preprocess import RawBatch, preprocess_batch
+from .preprocess import (InterHandRawBatch, RawBatch, preprocess_batch,
+                         preprocess_interhand_batch)
 
 _SENTINEL = object()
 
@@ -69,6 +70,12 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
     rng = aug_rng
     for raw in prefetch(raw_iter, prefetch_depth):
         raw_dev = to_device(raw)
+        if isinstance(raw, InterHandRawBatch):
+            # InterHand path has no aug surface in the reference
+            yield preprocess_interhand_batch(
+                raw_dev, crop_size=crop_size, sigma=sigma,
+                switch_joint_order=switch_joint_order)
+            continue
         batch_rng = None
         if rng is not None and any(flags.values()):
             rng, batch_rng = jax.random.split(rng)

@@ -59,6 +59,15 @@ class Worker:
             self.val_ds = RHDDataset(cfg.dataset_root_dir, "evaluation",
                                      cfg.num_workers)
             self.steps_per_epoch = max(len(self.train_ds) // cfg.batch_size, 1)
+        elif cfg.dataset_name == "InterHand2.6M":
+            from ..data.interhand import InterHandDataset
+            self.train_ds = InterHandDataset(
+                cfg.dataset_root_dir, "train", cfg.fast_trainval,
+                cfg.trans_test, cfg.input_img_shape, cfg.num_workers)
+            self.val_ds = InterHandDataset(
+                cfg.dataset_root_dir, "val", cfg.fast_trainval,
+                cfg.trans_test, cfg.input_img_shape, cfg.num_workers)
+            self.steps_per_epoch = max(len(self.train_ds) // cfg.batch_size, 1)
         else:
             raise ValueError(f"dataset {cfg.dataset_name} not supported here")
 
@@ -101,11 +110,13 @@ class Worker:
                                      self.cfg.input_channels, seed)
         raw = self.train_ds.raw_batch(
             list(range(min(self.cfg.batch_size, len(self.train_ds)))))
-        from ..data.preprocess import preprocess_batch
-        return preprocess_batch(jax.device_put(raw),
-                                crop_size=self.cfg.crop_size,
-                                sigma=self.cfg.sigma,
-                                switch_joint_order=self.cfg.joint_order_switched)
+        from ..data.preprocess import (InterHandRawBatch, preprocess_batch,
+                                       preprocess_interhand_batch)
+        fn = (preprocess_interhand_batch
+              if isinstance(raw, InterHandRawBatch) else preprocess_batch)
+        return fn(jax.device_put(raw), crop_size=self.cfg.crop_size,
+                  sigma=self.cfg.sigma,
+                  switch_joint_order=self.cfg.joint_order_switched)
 
     def _epoch_batches(self, split: str, seed: int) -> Iterator[dict]:
         cfg = self.cfg

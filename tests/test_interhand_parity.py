@@ -62,3 +62,23 @@ def test_intrinsics_scoremap(processed):
                                ref["camera_intrinsic_matrix"], rtol=1e-5,
                                atol=1e-3)
     np.testing.assert_allclose(out["scoremap"], ref["scoremap"], atol=1e-5)
+
+
+def test_interhand_worker_smoke(tmp_path):
+    """One fast-debug epoch of the trainer on a synthetic InterHand tree."""
+    from handpose_tpu.config import Config
+    from handpose_tpu.data.interhand import write_synthetic_interhand
+    from handpose_tpu.train import Worker
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "train", n=16, seed=1)
+    write_synthetic_interhand(str(root), "val", n=16, seed=2)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="InterHand2.6M", dataset_root_dir=str(root),
+                 batch_size=8, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128, max_epoch=1,
+                 save_log_dir=str(tmp_path / "logs"))
+    w = Worker(cfg)
+    w.run_epoch(0, "training", fast_debug=True)
+    val = w.run_epoch(0, "validation", fast_debug=True)
+    assert val is not None and np.isfinite(val)
