@@ -11,6 +11,15 @@ Directory layout (same as RHD):
   <root>/<set_type>/anno_<set_type>.pickle
   <root>/<set_type>/color/NNNNN.png   (320x320 RGB)
   <root>/<set_type>/mask/NNNNN.png    (320x320 uint8 parts)
+
+Decode paths, fastest first:
+  1. ``cache_decoded=True``: PNGs are decoded once into uint8 memmaps next
+     to the dataset (~8.2 GB for the 41k train split); later epochs read at
+     memory bandwidth -- this is what keeps a >10k img/s accelerator fed
+     (SURVEY.md §7.7).
+  2. the native C++ batched decoder (native/fastdecode.cpp, libpng/libjpeg
+     thread pool through ctypes);
+  3. cv2 in a python thread pool.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from .preprocess import RawBatch
+from . import native_decode
 
 try:
     import cv2
@@ -34,15 +44,23 @@ class RHDDataset:
     """Raw-sample access: images as uint8, annotations as float32."""
 
     def __init__(self, root_dir: str, set_type: str = "training",
-                 num_decode_threads: int = 8):
+                 num_decode_threads: int = 8, image_size: int = 320,
+                 cache_decoded: bool = False,
+                 use_native_decode: bool = True):
         assert set_type in ("evaluation", "training")
         self.root_dir = root_dir
         self.set_type = set_type
+        self.image_size = image_size
+        self.num_decode_threads = num_decode_threads
+        self.use_native = use_native_decode and native_decode.is_available()
         anno_path = os.path.join(root_dir, set_type,
                                  f"anno_{set_type}.pickle")
         with open(anno_path, "rb") as f:
             self.annotations = pickle.load(f)
         self._pool = ThreadPoolExecutor(num_decode_threads)
+        self._color_mm = self._mask_mm = None
+        if cache_decoded:
+            self._build_cache()
 
     def __len__(self):
         return len(self.annotations)
@@ -59,11 +77,56 @@ class RHDDataset:
         mask = cv2.imread(mask_p, 0)
         return img, mask
 
+    def _build_cache(self):
+        """Decode every sample once into uint8 memmaps (idempotent)."""
+        S = self.image_size
+        n = len(self)
+        d = os.path.join(self.root_dir, self.set_type)
+        cpath = os.path.join(d, f"decoded_color_{S}.u8")
+        mpath = os.path.join(d, f"decoded_mask_{S}.u8")
+        csize = n * S * S * 3
+        # .npy container: data + header, so compare with >=
+        if not (os.path.exists(cpath) and os.path.getsize(cpath) >= csize):
+            color = np.lib.format.open_memmap(
+                cpath + ".tmp.npy", mode="w+", dtype=np.uint8,
+                shape=(n, S, S, 3))
+            mask = np.lib.format.open_memmap(
+                mpath + ".tmp.npy", mode="w+", dtype=np.uint8,
+                shape=(n, S, S))
+            step = 256
+            for s in range(0, n, step):
+                idx = list(range(s, min(s + step, n)))
+                raw = self._decode_indices(idx)
+                color[s:s + len(idx)] = raw[0]
+                mask[s:s + len(idx)] = raw[1]
+            color.flush(); mask.flush()
+            del color, mask
+            os.replace(cpath + ".tmp.npy", cpath)
+            os.replace(mpath + ".tmp.npy", mpath)
+        self._color_mm = np.load(cpath, mmap_mode="r")
+        self._mask_mm = np.load(mpath, mmap_mode="r")
+
+    def _decode_indices(self, indices: Sequence[int]):
+        S = self.image_size
+        if self.use_native:
+            cpaths, mpaths = zip(*[self._paths(i) for i in indices])
+            imgs = native_decode.decode_batch(
+                list(cpaths), S, S, 3, self.num_decode_threads)
+            masks = native_decode.decode_batch(
+                list(mpaths), S, S, 1, self.num_decode_threads)
+            return imgs, masks
+        results = list(self._pool.map(self._load_sample, indices))
+        return (np.stack([r[0] for r in results]),
+                np.stack([r[1] for r in results]))
+
     def raw_batch(self, indices: Sequence[int]) -> RawBatch:
         """Decode + collate a batch of raw samples (threaded)."""
-        results = list(self._pool.map(self._load_sample, indices))
-        imgs = np.stack([r[0] for r in results])
-        masks = np.stack([r[1] for r in results])
+        if self._color_mm is not None:
+            idx = np.asarray(indices)
+            imgs = np.asarray(self._color_mm[idx])
+            masks = np.asarray(self._mask_mm[idx])
+        else:
+            imgs, masks = self._decode_indices(indices)
         uv = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, :2],
                                   np.float32) for i in indices])
         vis = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, 2] == 1)

@@ -75,3 +75,37 @@ def test_host_shard_sampler():
     a = samplers[0].epoch_indices(2)
     b = HostShardSampler(103, 16, 0, 4, True, 1).epoch_indices(2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_decoder_matches_cv2(mini_rhd):
+    from handpose_tpu.data import native_decode as nd
+
+    if not nd.is_available():
+        pytest.skip("native decoder unavailable (no g++/libpng)")
+    import cv2
+    import os
+    paths = [os.path.join(mini_rhd, "evaluation", "color", f"{i:05d}.png")
+             for i in range(4)]
+    out = nd.decode_batch(paths, 320, 320, 3, n_threads=2)
+    for i, p in enumerate(paths):
+        ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(out[i], ref)
+    # grayscale path (mask PNGs are palette/gray)
+    mpaths = [os.path.join(mini_rhd, "evaluation", "mask", f"{i:05d}.png")
+              for i in range(4)]
+    masks = nd.decode_batch(mpaths, 320, 320, 1, n_threads=2)
+    for i, p in enumerate(mpaths):
+        np.testing.assert_array_equal(masks[i], cv2.imread(p, 0))
+
+
+def test_decoded_cache_roundtrip(mini_rhd):
+    ds_plain = RHDDataset(mini_rhd, "evaluation", use_native_decode=False)
+    ds_cache = RHDDataset(mini_rhd, "evaluation", cache_decoded=True)
+    a = ds_plain.raw_batch([1, 3, 7])
+    b = ds_cache.raw_batch([1, 3, 7])
+    np.testing.assert_array_equal(a.image, b.image)
+    np.testing.assert_array_equal(a.mask, b.mask)
+    # second construction reuses the cache files
+    ds_again = RHDDataset(mini_rhd, "evaluation", cache_decoded=True)
+    c = ds_again.raw_batch([1, 3, 7])
+    np.testing.assert_array_equal(a.image, c.image)
