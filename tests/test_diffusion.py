@@ -85,3 +85,22 @@ def test_ddim_time_pairs_match_reference():
     ref = list(reversed(times.int().tolist()))
     ours = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1].tolist()
     assert ref == ours
+
+
+def test_unet2d_and_generic_diffusion():
+    from handpose_tpu.nn.diffusion2d import GaussianDiffusion, Unet2D
+
+    net = Unet2D(dim=16, dim_mults=(1, 2), channels=3, condition_feat_dim=8)
+    x = jnp.zeros((2, 8, 8, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    c = jnp.zeros((2, 8))
+    p = net.init(jax.random.PRNGKey(0), x, t, c)
+    assert net.apply(p, x, t, c).shape == (2, 8, 8, 3)
+
+    gd = GaussianDiffusion((8, 8, 3), timesteps=6, sampling_timesteps=3)
+    rng = jax.random.PRNGKey(1)
+    denoise = lambda xx, tt, cc: net.apply(p, xx, tt, cc)
+    loss = gd.loss(denoise, jax.random.uniform(rng, (2, 8, 8, 3)), c, rng)
+    assert np.isfinite(loss)
+    s = gd.sample(denoise, 2, c, rng)
+    assert s.shape == (2, 8, 8, 3) and np.all(np.isfinite(s))
