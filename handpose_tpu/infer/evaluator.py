@@ -43,6 +43,10 @@ class Evaluator:
     def __init__(self, cfg: Config, ckpt_path: Optional[str] = None,
                  visualize_dir: Optional[str] = None):
         ckpt_path = ckpt_path or cfg.infer_resume_weight_path
+        if ckpt_path == "":
+            # an empty path would silently evaluate random weights
+            raise ValueError("ckpt_path is empty; pass a checkpoint "
+                             "directory or None for random-init eval")
         if ckpt_path and cfg.model_name is None:
             cfg = cfg.replace(model_name=model_name_from_path(ckpt_path))
         self.cfg = cfg
