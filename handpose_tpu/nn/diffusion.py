@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

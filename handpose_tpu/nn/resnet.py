@@ -27,7 +27,7 @@ parameters and batch-norm statistics stay float32.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

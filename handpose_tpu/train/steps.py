@@ -14,7 +14,7 @@ or across a slice.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

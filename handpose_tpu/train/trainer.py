@@ -18,7 +18,6 @@ import os
 from typing import Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config

@@ -10,7 +10,6 @@ plus step-time / input-stall timers the reference only had commented out
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from datetime import datetime
