@@ -1,0 +1,75 @@
+"""Model export for serving: serialize a jitted forward to StableHLO.
+
+Deployment capability beyond the reference (which serves nothing): bundle
+a zoo model's inference forward -- weights baked in -- as a portable
+`jax.export` artifact that a serving process can load and run without the
+framework, python model code, or checkpoint plumbing.
+
+    blob = export_forward(cfg, variables)          # bytes
+    fn = load_exported(blob)                        # callable
+    xyz, uv = fn(images, K, scale, root)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..config import Config
+from ..models import build_model
+
+
+def export_forward(cfg: Config, variables, batch_size: int,
+                   mano=None) -> bytes:
+    """Serialize the model's inference forward (weights closed over).
+
+    Returns the serialized artifact bytes; inputs are
+    (images (B,H,W,C), K (B,3,3), scale (B,1), root (B,3)).
+    """
+    model = build_model(cfg, is_inference=True, mano=mano)
+    H, W = cfg.input_img_shape
+
+    def forward(img, K, scale, root):
+        out = model.apply(variables, img, K, scale, root, train=False)
+        xyz = out.xyz if out.xyz is not None else jnp.zeros(
+            (img.shape[0], cfg.keypoint_num, 3))
+        uv = out.uv if out.uv is not None else jnp.zeros(
+            (img.shape[0], cfg.keypoint_num, 2))
+        return xyz, uv
+
+    args = (
+        jax.ShapeDtypeStruct((batch_size, H, W, cfg.input_channels),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 1), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, 3), jnp.float32),
+    )
+    exported = jax_export.export(jax.jit(forward))(*args)
+    return exported.serialize()
+
+
+def load_exported(blob: bytes):
+    """Deserialize an exported forward into a callable."""
+    exported = jax_export.deserialize(blob)
+
+    def fn(img, K, scale, root):
+        return exported.call(jnp.asarray(img, jnp.float32),
+                             jnp.asarray(K, jnp.float32),
+                             jnp.asarray(scale, jnp.float32),
+                             jnp.asarray(root, jnp.float32))
+
+    return fn
+
+
+def save_exported(path: str, blob: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_exported_file(path: str):
+    with open(path, "rb") as f:
+        return load_exported(f.read())

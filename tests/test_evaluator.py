@@ -42,3 +42,32 @@ def test_evaluator_trains_then_improves(tmp_path):
     base = Evaluator(cfg).evaluate(max_batches=1)
     trained = Evaluator(cfg, ckpt_path=ckpt).evaluate(max_batches=1)
     assert trained < base
+
+
+def test_export_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from handpose_tpu.infer.export import (export_forward,
+                                           load_exported_file, save_exported)
+    from handpose_tpu.models import build_model
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128)
+    model = build_model(cfg, is_inference=True)
+    B = 2
+    img = jnp.zeros((B, 64, 64, 3))
+    K = jnp.tile(jnp.asarray([[300., 0, 32], [0, 300., 32], [0, 0, 1]]),
+                 (B, 1, 1))
+    scale = jnp.ones((B, 1))
+    root = jnp.zeros((B, 3))
+    var = model.init({"params": jax.random.PRNGKey(0)}, img, K, scale, root)
+    blob = export_forward(cfg, var, B)
+    p = tmp_path / "model.jaxexport"
+    save_exported(str(p), blob)
+    fn = load_exported_file(str(p))
+    xyz, uv = fn(np.asarray(img), np.asarray(K), np.asarray(scale),
+                 np.asarray(root))
+    ref = model.apply(var, img, K, scale, root)
+    np.testing.assert_allclose(xyz, ref.xyz, atol=1e-5)
+    np.testing.assert_allclose(uv, ref.uv, atol=1e-3)
