@@ -59,10 +59,16 @@ def cam2pixel_np(cam, focal, princpt):
 class InterHandDataset:
     def __init__(self, root_dir: str, set_type: str = "train",
                  fast_trainval: bool = False, trans_test: str = "gt",
-                 input_img_shape=(256, 256), num_decode_threads: int = 8):
+                 input_img_shape=(256, 256), num_decode_threads: int = 8,
+                 pad_to: tuple | None = None):
+        """``pad_to``: optional fixed (H, W) zero-padding target for the
+        decoded images -- real InterHand captures vary in resolution and a
+        fixed shape keeps one compiled preprocessing program (bboxes are
+        already clamped to the true extents, so padding is crop-safe)."""
         assert set_type in ("train", "test", "val")
         self.root_dir = root_dir
         self.mode = set_type
+        self.pad_to = pad_to
         self.img_path = osp.join(root_dir, "images")
         annot_path = osp.join(root_dir, "annotations")
         self.joint_num = 21
@@ -146,9 +152,18 @@ class InterHandDataset:
             img = cv2.imread(d["img_path"])
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-        imgs = np.stack(list(self._pool.map(load, indices)))
+        decoded = list(self._pool.map(load, indices))
+        if self.pad_to is not None:
+            Ht, Wt = self.pad_to
+            imgs = np.zeros((len(decoded), Ht, Wt, 3), np.uint8)
+            for j, im in enumerate(decoded):
+                h = min(im.shape[0], Ht)
+                w = min(im.shape[1], Wt)
+                imgs[j, :h, :w] = im[:h, :w]
+        else:
+            imgs = np.stack(decoded)
         H, W = imgs.shape[1:3]
-        uv, vis, xyz, Ks, left, bboxes = [], [], [], [], [], []
+        uv, vis, xyz, Ks, left, bboxes, owh = [], [], [], [], [], [], []
         for i in indices:
             d = self.datalist[i]
             # remap to RHD order; mm -> m (dataloaderInterHand2M6.py:216-218)
@@ -160,21 +175,24 @@ class InterHandDataset:
                                np.float32))
             left.append(d["hand_type"] == "left")
             # int bbox with the reference's clamp quirk
-            # (dataloaderInterHand2M6.py:208-213: overflow sets w=width)
+            # (dataloaderInterHand2M6.py:208-213: overflow sets w=width);
+            # clamp against the ORIGINAL dims, not any pad_to shape
+            ow, oh = d["width"], d["height"]
             b = np.array(d["bbox"], np.int32)
             b[0] = max(b[0], 0)
             b[1] = max(b[1], 0)
-            if b[0] + b[2] > W:
-                b[2] = W
-            if b[1] + b[3] > H:
-                b[3] = H
+            if b[0] + b[2] > ow:
+                b[2] = ow
+            if b[1] + b[3] > oh:
+                b[3] = oh
             bboxes.append(b)
+            owh.append([ow, oh])
         return InterHandRawBatch(
             image=imgs, keypoint_uv=np.stack(uv).astype(np.float32),
             keypoint_vis=np.stack(vis).astype(np.float32),
             keypoint_xyz=np.stack(xyz).astype(np.float32),
             camera_K=np.stack(Ks), hand_left=np.array(left),
-            bbox=np.stack(bboxes))
+            bbox=np.stack(bboxes), orig_wh=np.array(owh, np.int32))
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_remainder: bool = True) -> Iterator[InterHandRawBatch]:

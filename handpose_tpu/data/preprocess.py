@@ -254,13 +254,14 @@ class InterHandRawBatch(NamedTuple):
     """Host-parsed InterHand2.6M raw inputs (annotations already remapped to
     RHD joint order and metric units at parse time)."""
 
-    image: jnp.ndarray          # (B, H, W, 3) uint8 RGB
+    image: jnp.ndarray          # (B, H, W, 3) uint8 RGB (maybe zero-padded)
     keypoint_uv: jnp.ndarray    # (B, 42, 2) float32 (truncated to int on use)
     keypoint_vis: jnp.ndarray   # (B, 42) float/bool
     keypoint_xyz: jnp.ndarray   # (B, 42, 3) float32 metres
     camera_K: jnp.ndarray       # (B, 3, 3) float32
     hand_left: jnp.ndarray      # (B,) bool: annotation hand_type == 'left'
     bbox: jnp.ndarray           # (B, 4) int32 (x, y, w, h), pre-clamped
+    orig_wh: jnp.ndarray        # (B, 2) int32 original (W, H) pre-padding
 
 
 @partial(jax.jit, static_argnames=("crop_size", "sigma", "use_wrist_coord",
@@ -300,6 +301,7 @@ def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
         kp_vis = kp_vis.at[:, 21].set(kp_vis[:, 21] | kp_vis[:, 33])
 
     cond_left = raw.hand_left.astype(bool)
+    orig_w = raw.orig_wh[:, 0]
     hand_side = jnp.where(cond_left, 0, 1)
     cl3 = cond_left[:, None, None]
     kp_xyz21 = jnp.where(cl3, kp_xyz[:, :21], kp_xyz[:, 21:])
@@ -320,10 +322,15 @@ def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
     can, rot = canonical_trafo(rel_normed)
     rot_inv = jnp.swapaxes(rot, -1, -2)
 
-    image = jnp.where(cond_left[:, None, None, None],
-                      jnp.flip(image, axis=2), image)
-    u_mirr = jnp.where(cond_left[:, None], W - kp_uv21[:, :, 0],
-                       kp_uv21[:, :, 0])
+    # mirror about each sample's ORIGINAL width (padding stays put)
+    cols = jnp.arange(W)[None, :]
+    mirror_col = jnp.clip(orig_w[:, None] - 1 - cols, 0, W - 1)
+    col_idx = jnp.where(cond_left[:, None] & (cols < orig_w[:, None]),
+                        mirror_col, cols)
+    image = jnp.take_along_axis(image, col_idx[:, None, :, None], axis=2)
+    u_mirr = jnp.where(cond_left[:, None],
+                       orig_w[:, None].astype(kp_uv21.dtype)
+                       - kp_uv21[:, :, 0], kp_uv21[:, :, 0])
     kp_uv21 = jnp.stack([u_mirr, kp_uv21[:, :, 1]],
                         axis=-1).astype(jnp.float32)
 

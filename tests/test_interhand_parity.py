@@ -19,6 +19,8 @@ def processed(fixtures):
         camera_K=jnp.asarray(raw["camera_K"]),
         hand_left=jnp.asarray(raw["hand_left"]).astype(bool),
         bbox=jnp.asarray(raw["bbox"]),
+        orig_wh=jnp.full((raw["image"].shape[0], 2),
+                         raw["image"].shape[2], jnp.int32),
     )
     return preprocess_interhand_batch(batch), fixtures("interhand_getitem")
 
@@ -82,3 +84,21 @@ def test_interhand_worker_smoke(tmp_path):
     w.run_epoch(0, "training", fast_debug=True)
     val = w.run_epoch(0, "validation", fast_debug=True)
     assert val is not None and np.isfinite(val)
+
+
+def test_pad_to_keeps_crops_correct(tmp_path):
+    """Padding the decoded images must not change crops or annotations."""
+    from handpose_tpu.data.interhand import (InterHandDataset,
+                                             write_synthetic_interhand)
+    from handpose_tpu.data.preprocess import preprocess_interhand_batch
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "val", n=4, seed=5)
+    plain = InterHandDataset(str(root), "val")
+    padded = InterHandDataset(str(root), "val", pad_to=(384, 400))
+    a = preprocess_interhand_batch(plain.raw_batch([0, 1, 2, 3]))
+    b = preprocess_interhand_batch(padded.raw_batch([0, 1, 2, 3]))
+    np.testing.assert_allclose(np.asarray(a["image_crop"]),
+                               np.asarray(b["image_crop"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["keypoint_uv21"]),
+                               np.asarray(b["keypoint_uv21"]), atol=1e-4)
