@@ -59,21 +59,29 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            *init_args(sample0), train=False)
 
+    import jax.numpy as jnp
+
     @jax.jit
-    def pipeline(raw_batch):
+    def pipeline(raw_batch, carry):
+        # value-neutral dependency on the previous iteration's output makes
+        # the loop strictly sequential on device, so total time / iters is
+        # honest regardless of async-dispatch / block_until_ready semantics
+        raw_batch = raw_batch._replace(
+            keypoint_uv=raw_batch.keypoint_uv + carry * 0.0)
         sample = preprocess_batch(raw_batch)
         out = model.apply(variables, *init_args(sample), train=False)
-        return out.coord_xyz_rel_normed
+        return jnp.sum(out.coord_xyz_rel_normed)
 
     raw_dev = jax.device_put(raw)
-    # warmup / compile
-    jax.block_until_ready(pipeline(raw_dev))
+    carry = jnp.zeros(())
+    carry = pipeline(raw_dev, carry)
+    float(np.asarray(carry))  # warmup / compile + full sync
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(raw_dev)
-    jax.block_until_ready(out)
+        carry = pipeline(raw_dev, carry)
+    float(np.asarray(carry))  # host fetch bounds all queued work
     dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt
