@@ -75,3 +75,28 @@ def test_intrinsics_and_scoremap(processed):
                                ref["camera_intrinsic_matrix"], rtol=1e-5,
                                atol=1e-3)
     np.testing.assert_allclose(out["scoremap"], ref["scoremap"], atol=1e-5)
+
+
+def test_palm_coord_mode(fixtures):
+    """use_wrist_coord=False: palm-centre root replaces the wrist
+    (reference dataloaderRHD.py:93-131, config.py:15)."""
+    raw = fixtures("rhd_raw")
+    batch = RawBatch(
+        image=jnp.asarray(raw["image"]), mask=jnp.asarray(raw["mask"]),
+        keypoint_uv=jnp.asarray(raw["keypoint_uv"]),
+        keypoint_vis=jnp.asarray(raw["keypoint_vis"]),
+        keypoint_xyz=jnp.asarray(raw["keypoint_xyz"]),
+        camera_K=jnp.asarray(raw["camera_K"]))
+    out = preprocess_batch(batch, use_wrist_coord=False)
+    ref = fixtures("rhd_getitem_palm")
+    np.testing.assert_allclose(out["keypoint_xyz21"], ref["keypoint_xyz21"],
+                               atol=1e-6)
+    np.testing.assert_allclose(out["keypoint_scale"], ref["keypoint_scale"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(out["keypoint_xyz21_rel_normed"],
+                               ref["keypoint_xyz21_rel_normed"], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out["keypoint_vis21"], np.float32), ref["keypoint_vis21"])
+    np.testing.assert_allclose(out["keypoint_uv21"], ref["keypoint_uv21"],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(out["scoremap"], ref["scoremap"], atol=1e-5)

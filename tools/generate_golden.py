@@ -389,3 +389,14 @@ save("interhand_raw", image=raw_ih.image, keypoint_uv=raw_ih.keypoint_uv,
      keypoint_vis=raw_ih.keypoint_vis, keypoint_xyz=raw_ih.keypoint_xyz,
      camera_K=raw_ih.camera_K,
      hand_left=raw_ih.hand_left.astype(np.float32), bbox=raw_ih.bbox)
+
+# ---- RHD __getitem__ parity with use_wrist_coord=False --------------------
+refcfg.use_wrist_coord = False
+ref_ds_palm = RefDS(root_dir=tmp, set_type="evaluation")
+acc2 = {k: [] for k in keys}
+for i in range(6):
+    s = ref_ds_palm[i]
+    for k in keys:
+        acc2[k].append(np.asarray(s[k], dtype=np.float32))
+save("rhd_getitem_palm", **{k: np.stack(v) for k, v in acc2.items()})
+refcfg.use_wrist_coord = True
