@@ -136,6 +136,9 @@ class Config:
     infer_resume_weight_path: str | None = None
 
     # -- TPU-specific --
+    nan_check: bool = True     # abort on non-finite training loss
+    debug_nans: bool = False   # jax_debug_nans (traps the op that made one)
+    profile_epoch: int = -1    # capture a jax.profiler trace of this epoch
     compute_dtype: str = "bfloat16"   # matmul/conv compute dtype
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (-1,)       # data-parallel axis; -1 = all devices

@@ -39,6 +39,10 @@ class Worker:
     def __init__(self, cfg: Config, run_dir: Optional[str] = None,
                  mesh=None):
         self.cfg = cfg
+        if cfg.debug_nans:
+            # traps the first op producing a NaN (SURVEY.md §5: the
+            # sanitizer the reference lacked)
+            jax.config.update("jax_debug_nans", True)
         self.mesh = mesh if mesh is not None else make_mesh(
             shape=cfg.mesh_shape, axis_names=cfg.mesh_axis_names)
         self.model = build_model(cfg)
@@ -166,6 +170,16 @@ class Worker:
                 mpjpe_sum += float(metrics["mpjpe_sum"])
                 mpjpe_count += float(metrics["mpjpe_count"])
             self.stats.step.toc()
+            if is_train and self.cfg.nan_check:
+                loss_val = float(metrics["loss"])
+                if not np.isfinite(loss_val):
+                    self.logger.text(
+                        f"FATAL: non-finite loss {loss_val} at epoch "
+                        f"{epoch} iter {idx}; aborting (resume from the "
+                        f"last checkpoint in {self.run_dir})")
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {epoch} "
+                        f"iter {idx}")
             for k, v in metrics.items():
                 if k in ("mpjpe_sum", "mpjpe_count"):
                     continue
@@ -195,6 +209,12 @@ class Worker:
         """Full train/val loop; returns best val MPJPE."""
         end = max_epoch if max_epoch is not None else self.cfg.max_epoch
         for epoch in range(self.start_epoch, end):
+            if epoch == self.cfg.profile_epoch:
+                from ..utils.device_info import profile_trace
+                with profile_trace(os.path.join(self.run_dir, "profile")):
+                    self.run_epoch(epoch, "training", fast_debug)
+                self.run_epoch(epoch, "validation", fast_debug)
+                continue
             self.run_epoch(epoch, "training", fast_debug)
             val = self.run_epoch(epoch, "validation", fast_debug)
             is_best = val is not None and val < self.best_mpjpe

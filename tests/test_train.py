@@ -140,3 +140,21 @@ def test_checkpoint_save_resume_and_finetune(tmp_path):
     state3, epoch3, best3, finetune3 = filtered_resume(
         state3, str(tmp_path / "checkpoint"))
     assert finetune3 and epoch3 == 0 and not np.isfinite(best3)
+
+
+def test_nan_check_aborts(tmp_path):
+    """Failure detection: a poisoned batch must abort with a clear error."""
+    cfg = TINY.replace(save_log_dir=str(tmp_path))
+    w = Worker(cfg)
+    from handpose_tpu.data.synthetic import fake_sample_batch
+
+    batch = fake_sample_batch(8, 64, 3, seed=0)
+    batch["keypoint_xyz21"] = batch["keypoint_xyz21"] * np.nan
+    import types
+
+    def poisoned(self, split, seed):
+        yield batch
+
+    w._epoch_batches = types.MethodType(poisoned, w)
+    with pytest.raises(FloatingPointError):
+        w.run_epoch(0, "training")
