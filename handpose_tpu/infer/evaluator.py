@@ -28,7 +28,8 @@ from ..data.synthetic import fake_sample_batch
 from ..models import build_model
 from ..train.checkpoints import filtered_resume
 from ..train.state import create_train_state
-from ..train.steps import make_eval_step
+from ..train.steps import make_eval_step, _forward
+from ..metrics import pck
 from ..utils.vis import plot_pred_vs_gt, save_image, to_uint8_image
 
 
@@ -112,6 +113,46 @@ class Evaluator:
             if self.visualize_dir and bi == 0 and visualize_first_n:
                 self._visualize(batch, srng, visualize_first_n, bi)
         return total / count if count else 0.0
+
+    def evaluate_full(self, max_batches: Optional[int] = None,
+                      thresholds=None) -> dict:
+        """MPJPE + PCK curve + 20-50mm AUC over the eval split.
+
+        PCK/AUC extend the reference's MPJPE-only protocol with the
+        standard RHD evaluation curve (xyz-output models only).
+        """
+        import numpy as np
+        import jax.numpy as jnp
+
+        ts = jnp.asarray(thresholds if thresholds is not None
+                         else np.linspace(0.02, 0.05, 31))
+        total, count = 0.0, 0.0
+        pck_correct = np.zeros(ts.shape[0])
+        pck_n = 0.0
+        rng = jax.random.PRNGKey(0)
+        for bi, batch in enumerate(self._batches()):
+            if max_batches is not None and bi >= max_batches:
+                break
+            rng, srng = jax.random.split(rng)
+            metrics = self.eval_step(self.state, batch, srng)
+            total += float(metrics["mpjpe_sum"])
+            count += float(metrics["mpjpe_count"])
+            out, _ = _forward(self.model.apply, self.state.params,
+                              self.state.batch_stats, batch, self.cfg,
+                              False, srng)
+            if out.xyz is not None:
+                vis = batch["keypoint_vis21"]
+                n = float(jnp.sum(vis))
+                curve = np.asarray(pck(out.xyz, batch["keypoint_xyz21"],
+                                       vis, ts))
+                pck_correct += curve * n
+                pck_n += n
+        curve = (pck_correct / pck_n) if pck_n else np.zeros(ts.shape[0])
+        tsn = np.asarray(ts)
+        auc = (np.trapezoid(curve, tsn) / (tsn[-1] - tsn[0])
+               if pck_n else 0.0)
+        return {"mpjpe": total / count if count else 0.0,
+                "pck_thresholds": tsn, "pck": curve, "auc_20_50mm": auc}
 
     def _visualize(self, batch, rng, n, batch_idx):
         inp = model_input(batch, self.cfg.input_channels)

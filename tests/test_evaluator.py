@@ -71,3 +71,15 @@ def test_export_roundtrip(tmp_path):
     ref = model.apply(var, img, K, scale, root)
     np.testing.assert_allclose(xyz, ref.xyz, atol=1e-5)
     np.testing.assert_allclose(uv, ref.uv, atol=1e-3)
+
+
+def test_evaluate_full_pck(tmp_path):
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="synthetic", infer_batch_size=8,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128)
+    ev = Evaluator(cfg)
+    res = ev.evaluate_full(max_batches=1)
+    assert np.isfinite(res["mpjpe"])
+    assert res["pck"].shape == (31,)
+    assert 0.0 <= res["auc_20_50mm"] <= 1.0
+    assert np.all(np.diff(res["pck"]) >= -1e-9)   # monotone curve

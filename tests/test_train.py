@@ -158,3 +158,22 @@ def test_nan_check_aborts(tmp_path):
     w._epoch_batches = types.MethodType(poisoned, w)
     with pytest.raises(FloatingPointError):
         w.run_epoch(0, "training")
+
+
+def test_training_reproducible():
+    """Same seed, same data -> bitwise-identical first-step losses."""
+    cfg = TINY
+    losses = []
+    for _ in range(2):
+        model = build_model(cfg)
+        batch = fake_sample_batch(8, 64, 3, seed=3)
+        inp = model_input(batch, 3)
+        pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+        args = (inp, batch["camera_intrinsic_matrix"],
+                batch["keypoint_scale"], batch["keypoint_xyz_root"], pose_x0)
+        state = create_train_state(model, cfg, args, jax.random.PRNGKey(5),
+                                   10)
+        step = make_train_step(model, cfg)
+        _, m = step(state, batch, jax.random.PRNGKey(6))
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1]
