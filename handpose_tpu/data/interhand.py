@@ -60,11 +60,15 @@ class InterHandDataset:
     def __init__(self, root_dir: str, set_type: str = "train",
                  fast_trainval: bool = False, trans_test: str = "gt",
                  input_img_shape=(256, 256), num_decode_threads: int = 8,
-                 pad_to: tuple | None = None):
+                 pad_to: tuple | None = None,
+                 cache_decoded: bool = False):
         """``pad_to``: optional fixed (H, W) zero-padding target for the
         decoded images -- real InterHand captures vary in resolution and a
         fixed shape keeps one compiled preprocessing program (bboxes are
-        already clamped to the true extents, so padding is crop-safe)."""
+        already clamped to the true extents, so padding is crop-safe).
+        ``cache_decoded`` (requires pad_to): decode every image once into a
+        uint8 memmap next to the dataset; later epochs stream at memory
+        bandwidth like the RHD cache."""
         assert set_type in ("train", "test", "val")
         self.root_dir = root_dir
         self.mode = set_type
@@ -142,9 +146,47 @@ class InterHandDataset:
                 "width": img["width"], "height": img["height"],
             })
         self._pool = ThreadPoolExecutor(num_decode_threads)
+        self._color_mm = None
+        if cache_decoded:
+            assert pad_to is not None, "cache_decoded requires pad_to"
+            self._build_cache()
 
     def __len__(self):
         return len(self.datalist)
+
+    def _build_cache(self):
+        Ht, Wt = self.pad_to
+        n = len(self)
+        cpath = os.path.join(self.root_dir,
+                             f"decoded_{self.mode}_{Ht}x{Wt}.u8")
+        need = n * Ht * Wt * 3
+        if not (os.path.exists(cpath) and os.path.getsize(cpath) >= need):
+            mm = np.lib.format.open_memmap(cpath + ".tmp.npy", mode="w+",
+                                           dtype=np.uint8,
+                                           shape=(n, Ht, Wt, 3))
+            step = 128
+            for s0 in range(0, n, step):
+                idx = list(range(s0, min(s0 + step, n)))
+                mm[s0:s0 + len(idx)] = self._decode_padded(idx)
+            mm.flush()
+            del mm
+            os.replace(cpath + ".tmp.npy", cpath)
+        self._color_mm = np.load(cpath, mmap_mode="r")
+
+    def _decode_padded(self, indices):
+        def load(i):
+            d = self.datalist[i]
+            img = cv2.imread(d["img_path"])
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+        decoded = list(self._pool.map(load, indices))
+        Ht, Wt = self.pad_to
+        imgs = np.zeros((len(decoded), Ht, Wt, 3), np.uint8)
+        for j, im in enumerate(decoded):
+            h = min(im.shape[0], Ht)
+            w = min(im.shape[1], Wt)
+            imgs[j, :h, :w] = im[:h, :w]
+        return imgs
 
     def raw_batch(self, indices: Sequence[int]) -> InterHandRawBatch:
         def load(i):
@@ -152,8 +194,14 @@ class InterHandDataset:
             img = cv2.imread(d["img_path"])
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-        decoded = list(self._pool.map(load, indices))
-        if self.pad_to is not None:
+        if self._color_mm is not None:
+            decoded = None
+            imgs = np.asarray(self._color_mm[np.asarray(indices)])
+        else:
+            decoded = list(self._pool.map(load, indices))
+        if decoded is None:
+            pass
+        elif self.pad_to is not None:
             Ht, Wt = self.pad_to
             imgs = np.zeros((len(decoded), Ht, Wt, 3), np.uint8)
             for j, im in enumerate(decoded):

@@ -28,6 +28,8 @@ def main():
     p.add_argument("--visualize_dir", default=None)
     p.add_argument("--visualize_n", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--pck", action="store_true",
+                   help="also report the PCK curve + 20-50mm AUC")
     args = p.parse_args()
 
     model = args.model
@@ -47,10 +49,17 @@ def main():
                  infer_resume_weight_path=args.ckpt)
     ev = Evaluator(cfg, ckpt_path=args.ckpt,
                    visualize_dir=args.visualize_dir)
-    mpjpe = ev.evaluate(max_batches=args.max_batches,
-                        visualize_first_n=args.visualize_n
-                        if args.visualize_dir else 0)
-    print(f"visible-joint MPJPE: {mpjpe:.5f} mm")
+    if args.pck:
+        res = ev.evaluate_full(max_batches=args.max_batches)
+        print(f"visible-joint MPJPE: {res['mpjpe']:.5f} mm")
+        print(f"AUC (20-50mm): {res['auc_20_50mm']:.4f}")
+        for t, v in zip(res["pck_thresholds"][::6], res["pck"][::6]):
+            print(f"  PCK@{t * 1000:.0f}mm: {v:.4f}")
+    else:
+        mpjpe = ev.evaluate(max_batches=args.max_batches,
+                            visualize_first_n=args.visualize_n
+                            if args.visualize_dir else 0)
+        print(f"visible-joint MPJPE: {mpjpe:.5f} mm")
 
 
 if __name__ == "__main__":

@@ -102,3 +102,18 @@ def test_pad_to_keeps_crops_correct(tmp_path):
                                np.asarray(b["image_crop"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a["keypoint_uv21"]),
                                np.asarray(b["keypoint_uv21"]), atol=1e-4)
+
+
+def test_interhand_decoded_cache(tmp_path):
+    from handpose_tpu.data.interhand import (InterHandDataset,
+                                             write_synthetic_interhand)
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "val", n=4, seed=9)
+    plain = InterHandDataset(str(root), "val", pad_to=(320, 320))
+    cached = InterHandDataset(str(root), "val", pad_to=(320, 320),
+                              cache_decoded=True)
+    a = plain.raw_batch([0, 1, 2])
+    b = cached.raw_batch([0, 1, 2])
+    np.testing.assert_array_equal(a.image, b.image)
+    np.testing.assert_array_equal(a.bbox, b.bbox)
