@@ -49,7 +49,7 @@ _SWITCH_PERM = [0] + [i + d for i in (1, 5, 9, 13, 17) for d in (3, 2, 1, 0)]
                                    "hand_crop", "coord_uv_noise",
                                    "crop_center_noise", "crop_scale_noise",
                                    "crop_offset_noise", "scoremap_dropout",
-                                   "hue_aug"))
+                                   "hue_aug", "full_contract"))
 def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      use_wrist_coord: bool = True,
                      switch_joint_order: bool = True,
@@ -61,7 +61,8 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      crop_scale_noise: bool = False,
                      crop_offset_noise: bool = False,
                      scoremap_dropout: bool = False,
-                     hue_aug: bool = False) -> dict:
+                     hue_aug: bool = False,
+                     full_contract: bool = False) -> dict:
     """(B, ...) raw inputs -> the reference sample-dict contract, batched.
 
     Returns a dict with the keys consumed at reference trainval.py:276-291
@@ -73,6 +74,10 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     torch F.dropout then *p), and hue augmentation (which the reference
     declares but never implemented -- here a YIQ-space hue rotation of up
     to +-0.1 turns).  Pass ``rng`` when any flag is on.
+
+    ``full_contract`` additionally emits the debug-ish mask keys of the
+    reference dict (hand_parts, hand_map_l/r, hand_mask) that the trainers
+    never consume -- off by default to keep the hot path lean.
     """
     aug_on = (coord_uv_noise or crop_center_noise or crop_scale_noise or
               crop_offset_noise or scoremap_dropout or hue_aug)
@@ -162,6 +167,15 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
         "rot_mat": rot_inv,
         "camera_intrinsic_matrix": K,
     }
+    if full_contract:
+        # reference dataloaderRHD.py:117-123, 171-187
+        hand_mask_any = m > 1
+        out["hand_parts"] = m
+        out["hand_map_l"] = hand_map_l
+        out["hand_map_r"] = hand_map_r
+        out["hand_mask"] = jnp.stack([(~hand_mask_any).astype(jnp.int32),
+                                      hand_mask_any.astype(jnp.int32)],
+                                     axis=-1)
 
     if hand_crop:
         center_noise = scale_noise = offset_noise = None

@@ -100,3 +100,44 @@ def test_palm_coord_mode(fixtures):
     np.testing.assert_allclose(out["keypoint_uv21"], ref["keypoint_uv21"],
                                rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(out["scoremap"], ref["scoremap"], atol=1e-5)
+
+
+def test_full_contract_masks(fixtures):
+    """full_contract emits the reference's debug mask keys
+    (dataloaderRHD.py:117-123, 171-187)."""
+    raw = fixtures("rhd_raw")
+    batch = RawBatch(
+        image=jnp.asarray(raw["image"]), mask=jnp.asarray(raw["mask"]),
+        keypoint_uv=jnp.asarray(raw["keypoint_uv"]),
+        keypoint_vis=jnp.asarray(raw["keypoint_vis"]),
+        keypoint_xyz=jnp.asarray(raw["keypoint_xyz"]),
+        camera_K=jnp.asarray(raw["camera_K"]))
+    out = preprocess_batch(batch, full_contract=True)
+    m = raw["mask"].astype(np.int32)
+    np.testing.assert_array_equal(out["hand_parts"], m)
+    np.testing.assert_array_equal(out["hand_map_l"],
+                                  ((m > 1) & (m < 18)).astype(np.int32))
+    np.testing.assert_array_equal(out["hand_map_r"], (m > 17).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(out["hand_mask"])[..., 1],
+                                  (m > 1).astype(np.int32))
+
+
+def test_gt_reprojection_sanity(fixtures):
+    """The reference's per-batch GT round trip (inference.py:176-179):
+    project(rel_normed*scale + root, K') must reproduce uv21."""
+    raw = fixtures("rhd_raw")
+    batch = RawBatch(
+        image=jnp.asarray(raw["image"]), mask=jnp.asarray(raw["mask"]),
+        keypoint_uv=jnp.asarray(raw["keypoint_uv"]),
+        keypoint_vis=jnp.asarray(raw["keypoint_vis"]),
+        keypoint_xyz=jnp.asarray(raw["keypoint_xyz"]),
+        camera_K=jnp.asarray(raw["camera_K"]))
+    out = preprocess_batch(batch)
+    from handpose_tpu.ops.projection import batch_project_xyz_to_uv
+    uv = batch_project_xyz_to_uv(out["keypoint_xyz21"],
+                                 out["camera_intrinsic_matrix"])
+    # synthetic annotations are exactly consistent, so the round trip is
+    # exact up to fp error
+    np.testing.assert_allclose(np.asarray(uv),
+                               np.asarray(out["keypoint_uv21"]),
+                               rtol=1e-3, atol=0.1)
