@@ -70,18 +70,31 @@ class Evaluator:
         if ckpt_path:
             self.state, _, _, _ = filtered_resume(self.state, ckpt_path)
 
+    def _dataset(self):
+        cfg = self.cfg
+        if cfg.dataset_name == "InterHand2.6M":
+            from ..data.interhand import InterHandDataset
+            return InterHandDataset(cfg.dataset_root_dir, "val",
+                                    cfg.fast_trainval, cfg.trans_test,
+                                    cfg.input_img_shape, cfg.num_workers)
+        return RHDDataset(cfg.dataset_root_dir, "evaluation",
+                          cfg.num_workers)
+
     def _first_batch(self):
-        if self.cfg.use_fake_data or self.cfg.dataset_name == "synthetic":
-            return fake_sample_batch(min(self.cfg.infer_batch_size, 8),
-                                     self.cfg.crop_size,
-                                     self.cfg.input_channels)
-        ds = RHDDataset(self.cfg.dataset_root_dir, "evaluation")
-        idx = list(range(min(self.cfg.infer_batch_size, len(ds))))
-        from ..data.preprocess import preprocess_batch
-        return preprocess_batch(jax.device_put(ds.raw_batch(idx)),
-                                crop_size=self.cfg.crop_size,
-                                sigma=self.cfg.sigma,
-                                switch_joint_order=self.cfg.joint_order_switched)
+        cfg = self.cfg
+        if cfg.use_fake_data or cfg.dataset_name == "synthetic":
+            return fake_sample_batch(min(cfg.infer_batch_size, 8),
+                                     cfg.crop_size, cfg.input_channels)
+        ds = self._dataset()
+        idx = list(range(min(cfg.infer_batch_size, len(ds))))
+        from ..data.preprocess import (InterHandRawBatch, preprocess_batch,
+                                       preprocess_interhand_batch)
+        raw = ds.raw_batch(idx)
+        fn = (preprocess_interhand_batch
+              if isinstance(raw, InterHandRawBatch) else preprocess_batch)
+        return fn(jax.device_put(raw), crop_size=cfg.crop_size,
+                  sigma=cfg.sigma,
+                  switch_joint_order=cfg.joint_order_switched)
 
     def _batches(self) -> Iterator[dict]:
         cfg = self.cfg
@@ -91,7 +104,7 @@ class Evaluator:
                                         cfg.crop_size, cfg.input_channels,
                                         seed=i)
             return
-        ds = RHDDataset(cfg.dataset_root_dir, "evaluation", cfg.num_workers)
+        ds = self._dataset()
         yield from device_batches(
             ds.batches(cfg.infer_batch_size, shuffle=False),
             crop_size=cfg.crop_size, sigma=cfg.sigma,

@@ -83,3 +83,17 @@ def test_evaluate_full_pck(tmp_path):
     assert res["pck"].shape == (31,)
     assert 0.0 <= res["auc_20_50mm"] <= 1.0
     assert np.all(np.diff(res["pck"]) >= -1e-9)   # monotone curve
+
+
+def test_evaluator_interhand(tmp_path):
+    from handpose_tpu.data.interhand import write_synthetic_interhand
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "val", n=8, seed=3)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="InterHand2.6M", dataset_root_dir=str(root),
+                 infer_batch_size=4, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128)
+    ev = Evaluator(cfg)
+    m = ev.evaluate(max_batches=2)
+    assert np.isfinite(m) and m > 0

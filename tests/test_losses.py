@@ -100,3 +100,51 @@ def test_plot_3d_keypoints(tmp_path, fixtures):
     sk = load_skeleton(str(sk_path), 5)
     assert sk[0]["child_id"] == [1]
     assert sk[3]["parent_id"] == 2
+
+
+def test_loss_gating_aggregation(fixtures):
+    """compute_losses must reproduce the reference's per-model gated sum
+    incl. the uv/1e5 scaling (reference trainval.py:330-360)."""
+    import jax.numpy as jnp
+    from handpose_tpu.config import Config
+    from handpose_tpu.models.zoo import ModelOutput
+    from handpose_tpu.train.steps import compute_losses
+    from handpose_tpu.losses import (hand_mask_loss, masked_l2_loss,
+                                     regularization_loss)
+
+    f = fixtures("losses")
+    batch = {
+        "keypoint_xyz21": jnp.asarray(f["gt_xyz"]),
+        "keypoint_uv21": jnp.asarray(f["gt_uv"]),
+        "keypoint_vis21": jnp.asarray(f["vis"]),
+        "right_hand_mask": jnp.asarray(f["hand_mask"]),
+        "kp_coord_xyz21_rel_can": jnp.asarray(f["gt_xyz"]),
+        "rot_mat": jnp.eye(3)[None].repeat(4, 0),
+    }
+    out = ModelOutput(xyz=jnp.asarray(f["pre_xyz"]),
+                      uv=jnp.asarray(f["pre_uv"]),
+                      diffusion_loss=jnp.asarray(0.25),
+                      theta=jnp.asarray(f["theta"]),
+                      beta=jnp.asarray(f["beta"]))
+    vis = batch["keypoint_vis21"]
+    l_xyz = masked_l2_loss(out.xyz, batch["keypoint_xyz21"], vis)
+    l_uv = masked_l2_loss(out.uv, batch["keypoint_uv21"], vis)
+    l_hm = hand_mask_loss(out.uv, batch["keypoint_uv21"],
+                          batch["right_hand_mask"])
+    l_reg = regularization_loss(out.theta, out.beta)
+
+    cases = {
+        "TwoDimHandPose": l_uv / 1e5,
+        "TwoDimHandPoseWithFK": l_xyz + l_uv / 1e5,
+        "ThreeDimHandPose": l_xyz,
+        "OnlyThreeDimHandPose": l_xyz,
+        "DiffusionHandPose": l_xyz + 0.25,
+        "MANO3DHandPose": l_xyz,
+        "ThreeHandShapeAndPoseMANO": l_xyz,
+        "Resnet50MANO3DHandPose": l_xyz + l_hm + l_reg,
+    }
+    for name, expected in cases.items():
+        cfg = Config(model_name=name)
+        got = compute_losses(out, batch, cfg)["loss"]
+        np.testing.assert_allclose(float(got), float(expected), rtol=1e-6,
+                                   err_msg=name)
