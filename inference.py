@@ -15,6 +15,32 @@ from handpose_tpu.config import Config, MODEL_NAMES
 from handpose_tpu.infer import Evaluator, model_name_from_path
 
 
+
+
+def apply_overrides(cfg, pairs):
+    """Apply generic --set key=value overrides with field-typed coercion."""
+    import dataclasses
+
+    types = {f.name: f.type for f in dataclasses.fields(type(cfg))}
+    kw = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        if key not in types:
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            kw[key] = val.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            kw[key] = int(val)
+        elif isinstance(cur, float):
+            kw[key] = float(val)
+        elif isinstance(cur, tuple):
+            kw[key] = tuple(int(x) for x in val.split(","))
+        else:
+            kw[key] = val
+    return cfg.replace(**kw)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt", default=None,
@@ -30,6 +56,9 @@ def main():
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--pck", action="store_true",
                    help="also report the PCK curve + 20-50mm AUC")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   dest="overrides",
+                   help="override any Config field, e.g. --set sigma=10")
     args = p.parse_args()
 
     model = args.model
@@ -47,6 +76,7 @@ def main():
                  dataset_root_dir=args.data_root,
                  infer_batch_size=args.batch_size, input_channels=in_ch,
                  infer_resume_weight_path=args.ckpt)
+    cfg = apply_overrides(cfg, args.overrides)
     ev = Evaluator(cfg, ckpt_path=args.ckpt,
                    visualize_dir=args.visualize_dir)
     if args.pck:

@@ -18,6 +18,32 @@ from handpose_tpu.config import Config, MODEL_NAMES
 from handpose_tpu.train import Worker
 
 
+
+
+def apply_overrides(cfg, pairs):
+    """Apply generic --set key=value overrides with field-typed coercion."""
+    import dataclasses
+
+    types = {f.name: f.type for f in dataclasses.fields(type(cfg))}
+    kw = {}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        if key not in types:
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            kw[key] = val.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            kw[key] = int(val)
+        elif isinstance(cur, float):
+            kw[key] = float(val)
+        elif isinstance(cur, tuple):
+            kw[key] = tuple(int(x) for x in val.split(","))
+        else:
+            kw[key] = val
+    return cfg.replace(**kw)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="Hand3DPosePriorNetwork",
@@ -40,6 +66,9 @@ def main():
     p.add_argument("--resume", default=None)
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   dest="overrides",
+                   help="override any Config field, e.g. --set sigma=10")
     args = p.parse_args()
 
     # per-model default input channels (reference config.py:44 conventions)
@@ -63,6 +92,7 @@ def main():
         save_log_dir=args.log_dir,
         seed=args.seed,
     )
+    cfg = apply_overrides(cfg, args.overrides)
     worker = Worker(cfg)
     best = worker.run(fast_debug=args.fast_debug)
     print(f"best val MPJPE: {best:.5f}")
