@@ -110,3 +110,18 @@ def plot_3d_keypoints(xyz: np.ndarray, save_path: str,
     ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
     fig.savefig(save_path, dpi=80, bbox_inches="tight")
     plt.close(fig)
+
+
+def save_scoremap_grid(scoremap: np.ndarray, save_path: str,
+                       cols: int = 7) -> None:
+    """Tile one sample's (K, H, W) scoremaps into a grid image (the
+    reference dataloader __main__'s scoremap plots, dataloaderRHD.py:707+)."""
+    sm = np.asarray(scoremap)
+    K, H, W = sm.shape
+    rows = (K + cols - 1) // cols
+    grid = np.zeros((rows * H, cols * W), np.float32)
+    for k in range(K):
+        r, c = divmod(k, cols)
+        grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = sm[k]
+    img = np.clip(grid * 255.0, 0, 255).astype(np.uint8)
+    cv2.imwrite(save_path, img)

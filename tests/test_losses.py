@@ -148,3 +148,12 @@ def test_loss_gating_aggregation(fixtures):
         got = compute_losses(out, batch, cfg)["loss"]
         np.testing.assert_allclose(float(got), float(expected), rtol=1e-6,
                                    err_msg=name)
+
+
+def test_save_scoremap_grid(tmp_path, fixtures):
+    from handpose_tpu.utils.vis import save_scoremap_grid
+
+    f = fixtures("scoremap")
+    out = tmp_path / "grid.png"
+    save_scoremap_grid(f["maps"][0], str(out))
+    assert out.exists() and out.stat().st_size > 0
