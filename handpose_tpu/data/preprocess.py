@@ -142,7 +142,11 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     local = bone_rel_trafo(rel_normed)
     can, rot = canonical_trafo(rel_normed)
     # rotation matrices are orthonormal: inverse == transpose
-    # (reference uses torch.inverse, dataloaderRHD.py:252)
+    # (reference uses torch.inverse, dataloaderRHD.py:252).  NB: the
+    # accumulated total_rot_mat composes the per-step rotations in the
+    # reversed order (reference canonical_trafo.py:142-156), so rot is a
+    # training label consistent with the reference, not the exact
+    # trans->can map -- replicated for parity.
     rot_inv = jnp.swapaxes(rot, -1, -2)
 
     # mirror the image + u coordinate for left hands

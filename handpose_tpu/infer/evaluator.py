@@ -105,8 +105,12 @@ class Evaluator:
                                         seed=i)
             return
         ds = self._dataset()
+        # drop_remainder=False: evaluate every sample (costs one extra
+        # compile for the trailing partial batch; the reference also
+        # consumed the partial batch)
         yield from device_batches(
-            ds.batches(cfg.infer_batch_size, shuffle=False),
+            ds.batches(cfg.infer_batch_size, shuffle=False,
+                       drop_remainder=False),
             crop_size=cfg.crop_size, sigma=cfg.sigma,
             switch_joint_order=cfg.joint_order_switched,
             prefetch_depth=cfg.prefetch_depth)

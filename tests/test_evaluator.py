@@ -97,3 +97,23 @@ def test_evaluator_interhand(tmp_path):
     ev = Evaluator(cfg)
     m = ev.evaluate(max_batches=2)
     assert np.isfinite(m) and m > 0
+
+
+def test_evaluator_consumes_partial_batch(tmp_path):
+    """10 samples at bs=4 -> all 10 evaluated (4+4+2), not 8."""
+    from handpose_tpu.data.rhd import write_synthetic_rhd
+    from handpose_tpu.train.steps import make_eval_step
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=10, seed=6)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="RHD", dataset_root_dir=str(root),
+                 infer_batch_size=4, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128)
+    ev = Evaluator(cfg)
+    total_batches = sum(1 for _ in ev._batches())
+    assert total_batches == 3
+    sizes = [b["keypoint_xyz21"].shape[0] for b in ev._batches()]
+    assert sizes == [4, 4, 2]
+    m = ev.evaluate()
+    assert np.isfinite(m)
