@@ -15,6 +15,9 @@ from .heatmap import render_gaussian_maps, render_gaussian_heatmap_3d
 from .crop import (CropParams, compute_crop_params, crop_resize_bilinear,
                    crop_resize_nearest, crop_intrinsics, crop_uv)
 from .camera import world2cam, cam2pixel, pixel2cam
+from .patch import (get_bbox, process_bbox, gen_trans_from_patch,
+                    affine_warp_bilinear, transform_input_to_output_space,
+                    get_aug_config, trans_point2d)
 
 __all__ = [
     "atan2_safe", "rot_mat_x", "rot_mat_y", "rot_mat_z",
@@ -27,4 +30,7 @@ __all__ = [
     "CropParams", "compute_crop_params", "crop_resize_bilinear",
     "crop_resize_nearest", "crop_intrinsics", "crop_uv",
     "world2cam", "cam2pixel", "pixel2cam",
+    "get_bbox", "process_bbox", "gen_trans_from_patch",
+    "affine_warp_bilinear", "transform_input_to_output_space",
+    "get_aug_config", "trans_point2d",
 ]

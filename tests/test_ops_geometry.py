@@ -131,3 +131,42 @@ def test_scoremap_pallas_interpret(fixtures):
         jnp.asarray(f["coords_hw"]), (256, 256), 25.0,
         jnp.asarray(f["vis"]), interpret=True)
     np.testing.assert_allclose(maps, f["maps"], atol=1e-5)
+
+
+def test_affine_warp_matches_cv2():
+    """affine_warp_bilinear == cv2.warpAffine(INTER_LINEAR, border 0) for
+    the patch transforms of ops.patch (reference preprocessing.py:157-190)."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (2, 48, 64, 3)).astype(np.float32)
+    outs_ref, trans_list = [], []
+    for i in range(2):
+        t = ops.gen_trans_from_patch(c_x=30.0 + i * 3, c_y=22.0, src_w=40,
+                                     src_h=30, dst_w=32, dst_h=24,
+                                     scale=1.1, rot=15.0 * (i + 1))
+        trans_list.append(t)
+        outs_ref.append(cv2.warpAffine(img[i], t, (32, 24),
+                                       flags=cv2.INTER_LINEAR))
+    out = ops.affine_warp_bilinear(jnp.asarray(img),
+                                   jnp.asarray(np.stack(trans_list)),
+                                   (24, 32))
+    np.testing.assert_allclose(np.asarray(out), np.stack(outs_ref),
+                               atol=2e-3)
+
+
+def test_transform_input_to_output_space():
+    """Heatmap-space transform matches the reference formula
+    (preprocessing.py:87-120)."""
+    rng = np.random.default_rng(4)
+    jc = jnp.asarray(rng.uniform(0, 256, (2, 42, 3)).astype(np.float32))
+    valid = jnp.ones((2, 42))
+    out, v, rd, rv = ops.transform_input_to_output_space(
+        jc, valid, rel_root_depth=jnp.zeros((2,)), root_valid=jnp.ones((2,)),
+        root_joint_idx={"right": 20, "left": 41},
+        joint_type={"right": np.arange(21), "left": np.arange(21, 42)})
+    np.testing.assert_allclose(out[..., 0], jc[..., 0] / 256 * 64, rtol=1e-6)
+    # per-hand root depth is centred: z at the root indices == 32
+    np.testing.assert_allclose(out[:, 20, 2], 32.0, atol=1e-4)
+    np.testing.assert_allclose(out[:, 41, 2], 32.0, atol=1e-4)
+    np.testing.assert_allclose(rd, 32.0, atol=1e-5)
