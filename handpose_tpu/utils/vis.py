@@ -125,3 +125,38 @@ def save_scoremap_grid(scoremap: np.ndarray, save_path: str,
         grid[r * H:(r + 1) * H, c * W:(c + 1) * W] = sm[k]
     img = np.clip(grid * 255.0, 0, 255).astype(np.uint8)
     cv2.imwrite(save_path, img)
+
+
+def save_mesh_obj(vertices: np.ndarray, faces: np.ndarray,
+                  path: str) -> None:
+    """Write a hand mesh as Wavefront OBJ (the reference renders MANO
+    meshes via the `mano` pip package, MANOLayer.py:212-236; OBJ export is
+    the dependency-free equivalent, viewable in any mesh tool)."""
+    v = np.asarray(vertices, np.float32).reshape(-1, 3)
+    f = np.asarray(faces, np.int64).reshape(-1, 3)
+    with open(path, "w") as fh:
+        for p in v:
+            fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for tri in f + 1:   # OBJ is 1-indexed
+            fh.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+
+
+def plot_mesh(vertices: np.ndarray, faces: np.ndarray, save_path: str,
+              joints: np.ndarray | None = None) -> None:
+    """3-D trisurf render of a hand mesh (+ optional joints)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(vertices).reshape(-1, 3)
+    f = np.asarray(faces).reshape(-1, 3)
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.plot_trisurf(v[:, 0], v[:, 1], v[:, 2], triangles=f,
+                    color=(0.96, 0.75, 0.69), edgecolor="none", alpha=0.9)
+    if joints is not None:
+        j = np.asarray(joints).reshape(-1, 3)
+        ax.scatter(j[:, 0], j[:, 1], j[:, 2], c="g", s=14)
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(save_path, dpi=80, bbox_inches="tight")
+    plt.close(fig)

@@ -59,3 +59,26 @@ def test_fk_differentiable(fixtures):
     g = jax.grad(loss)(jnp.asarray(f["other_angles"]))
     assert np.all(np.isfinite(g))
     assert np.abs(g).max() > 0
+
+
+def test_mesh_export_and_render(tmp_path):
+    from handpose_tpu.nn.mano import synthetic_mano
+    from handpose_tpu.utils.vis import plot_mesh, save_mesh_obj
+
+    layer = ManoLayer(model=synthetic_mano(), pose_num=10)
+    rng = np.random.default_rng(1)
+    verts, joints = layer(
+        jnp.asarray(rng.normal(size=(1, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 10)), jnp.float32),
+        jnp.asarray(rng.normal(size=(1, 10)), jnp.float32))
+    obj = tmp_path / "hand.obj"
+    save_mesh_obj(np.asarray(verts[0]), layer.faces, str(obj))
+    txt = obj.read_text().splitlines()
+    assert sum(1 for l in txt if l.startswith("v ")) == 778
+    assert sum(1 for l in txt if l.startswith("f ")) == len(layer.faces)
+    png = tmp_path / "hand.png"
+    # synthetic faces are degenerate (all zeros); use a tiny valid mesh
+    tri_v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    tri_f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3]])
+    plot_mesh(tri_v, tri_f, str(png), joints=np.asarray(joints[0]))
+    assert png.exists() and png.stat().st_size > 0
