@@ -56,6 +56,10 @@ def main():
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--pck", action="store_true",
                    help="also report the PCK curve + 20-50mm AUC")
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="serialize the loaded model's forward (weights "
+                        "baked in) as a jax.export artifact and exit")
+    p.add_argument("--export_batch", type=int, default=1)
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    dest="overrides",
                    help="override any Config field, e.g. --set sigma=10")
@@ -79,6 +83,15 @@ def main():
     cfg = apply_overrides(cfg, args.overrides)
     ev = Evaluator(cfg, ckpt_path=args.ckpt,
                    visualize_dir=args.visualize_dir)
+    if args.export:
+        from handpose_tpu.infer.export import export_forward, save_exported
+
+        variables = {"params": ev.state.params,
+                     "batch_stats": ev.state.batch_stats}
+        blob = export_forward(cfg, variables, args.export_batch)
+        save_exported(args.export, blob)
+        print(f"exported {len(blob)} bytes to {args.export}")
+        return
     if args.pck:
         res = ev.evaluate_full(max_batches=args.max_batches)
         print(f"visible-joint MPJPE: {res['mpjpe']:.5f} mm")
