@@ -30,7 +30,31 @@ def make_run_dir(save_log_dir: str, model_name: str, dataset_name: str,
     if config_json is not None:
         with open(os.path.join(run_dir, "config.json"), "w") as f:
             f.write(config_json)
+    _write_provenance(run_dir)
     return run_dir
+
+
+def _write_provenance(run_dir: str) -> None:
+    """Record the code revision alongside the config snapshot (the
+    reference copied config.py into the run dir, trainval.py:231; we add
+    the git state)."""
+    import json
+    import subprocess
+
+    info = {"timestamp": datetime.now().isoformat()}
+    try:
+        info["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5, cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip()
+        info["git_dirty"] = bool(subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True,
+            text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout.strip())
+    except Exception:
+        pass
+    with open(os.path.join(run_dir, "provenance.json"), "w") as f:
+        json.dump(info, f, indent=2)
 
 
 class RunLogger:

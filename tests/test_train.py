@@ -35,12 +35,13 @@ def test_cosine_schedule_matches_torch_curve():
 def test_fake_data_training_reduces_loss(tmp_path):
     cfg = TINY.replace(save_log_dir=str(tmp_path))
     w = Worker(cfg)
-    first = w.run_epoch(0, "training")
-    losses = []
+    val0 = w.run_epoch(0, "validation")
     for e in range(3):
         w.run_epoch(e, "training")
     val = w.run_epoch(0, "validation")
-    assert val is not None and np.isfinite(val)
+    assert np.isfinite(val) and val < val0
+    import os
+    assert os.path.exists(os.path.join(w.run_dir, "provenance.json"))
 
 
 def test_train_step_loss_decreases():
