@@ -24,24 +24,48 @@ from .preprocess import (InterHandRawBatch, RawBatch, preprocess_batch,
 _SENTINEL = object()
 
 
-def _producer(it, q):
+def _producer(it, q, stop):
     try:
         for item in it:
-            q.put(item)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
     finally:
-        q.put(_SENTINEL)
+        try:
+            q.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
 
 
 def prefetch(iterator, depth: int = 2):
-    """Run ``iterator`` in a background thread with a bounded queue."""
+    """Run ``iterator`` in a background thread with a bounded queue.
+
+    Abandoning the generator early (e.g. fast_debug truncation) signals the
+    producer to stop instead of leaking a thread blocked on a full queue.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    t = threading.Thread(target=_producer, args=(iterator, q), daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(target=_producer, args=(iterator, q, stop),
+                         daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,

@@ -109,3 +109,26 @@ def test_decoded_cache_roundtrip(mini_rhd):
     ds_again = RHDDataset(mini_rhd, "evaluation", cache_decoded=True)
     c = ds_again.raw_batch([1, 3, 7])
     np.testing.assert_array_equal(a.image, c.image)
+
+
+def test_prefetch_early_abandon_stops_producer():
+    import threading
+    import time
+
+    produced = []
+
+    def slow_source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    gen = prefetch(slow_source(), depth=2)
+    for i, x in enumerate(gen):
+        if i == 3:
+            break
+    gen.close()
+    time.sleep(0.5)
+    # producer stopped well short of the 1000 items
+    assert len(produced) < 20
+    assert threading.active_count() <= before + 1
