@@ -36,10 +36,15 @@ def _producer(it, q, stop):
             if stop.is_set():
                 return
     finally:
-        try:
-            q.put_nowait(_SENTINEL)
-        except queue.Full:
-            pass
+        # the sentinel must be delivered even when the queue is full,
+        # otherwise the consumer blocks forever; retry until the consumer
+        # drains a slot or signals stop
+        while not stop.is_set():
+            try:
+                q.put(_SENTINEL, timeout=0.1)
+                break
+            except queue.Full:
+                continue
 
 
 def prefetch(iterator, depth: int = 2):

@@ -71,7 +71,7 @@ rng = np.random.default_rng(42)
 
 
 def save(name, **arrays):
-    np.savez(os.path.join(OUT, name + ".npz"), **arrays)
+    np.savez_compressed(os.path.join(OUT, name + ".npz"), **arrays)
     print("wrote", name, {k: v.shape for k, v in arrays.items()})
 
 
