@@ -25,6 +25,7 @@ from typing import Optional
 
 import flax.linen as nn
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
@@ -234,6 +235,11 @@ class DiffusionHandPose(nn.Module):
             return ModelOutput(diffusion_loss=diffusion_loss)
 
         coarse = self.diff_model.sample(feat, self.make_rng("diffusion"))
+        # every reference sampler is @torch.no_grad (reference
+        # conditionalDiffusion.py:649,658,674,713,742), so the in-training
+        # DDIM sample must not backprop into the UNet (or the condition
+        # branch through it); the denoiser trains only via diffusion_loss
+        coarse = jax.lax.stop_gradient(coarse)
         coarse = coarse.reshape(coarse.shape[0], -1)          # (B, 63)
         root_angles, other_angles = self.bone_angle_pred_model(coarse)
         bone_lengths = self.bone_length_pred_model(coarse)

@@ -88,3 +88,46 @@ def test_inference_mode_models():
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         build_model(BASE.replace(model_name="NoSuchModel"))
+
+
+def test_ddim_sample_stops_gradients():
+    """In-training DDIM sampling must not backprop into the denoiser.
+
+    Reference semantics: every sampler is @torch.no_grad (reference
+    conditionalDiffusion.py:649-742), so the xyz/uv loss path reaches the
+    UNet only through a stop_gradient; the UNet trains solely via
+    diffusion_loss.
+    """
+    cfg = BASE.replace(model_name="DiffusionHandPose", input_channels=3)
+    model = build_model(cfg)
+    img, K, scale, root, pose_x0 = _inputs(cfg)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "diffusion": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, img, K, scale, root, pose_x0, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def apply(p, which):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            img, K, scale, root, pose_x0, train=True,
+            rngs={"diffusion": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        if which == "xyz":
+            return jnp.sum(out.xyz ** 2) + jnp.sum(out.uv ** 2)
+        return out.diffusion_loss
+
+    unet_key = next(k for k in params if "diff" in k.lower())
+
+    g_xyz = jax.grad(lambda p: apply(p, "xyz"))(params)
+    unet_norm = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree.leaves(g_xyz[unet_key]))
+    assert unet_norm == 0.0, "xyz/uv loss leaked gradients into the denoiser"
+    bone_key = next(k for k in params if "bone_angle" in k.lower())
+    bone_norm = sum(float(jnp.sum(jnp.abs(g)))
+                    for g in jax.tree.leaves(g_xyz[bone_key]))
+    assert bone_norm > 0.0, "FK branch should still receive gradients"
+
+    g_diff = jax.grad(lambda p: apply(p, "diffusion"))(params)
+    unet_norm2 = sum(float(jnp.sum(jnp.abs(g)))
+                     for g in jax.tree.leaves(g_diff[unet_key]))
+    assert unet_norm2 > 0.0, "diffusion_loss must still train the denoiser"
