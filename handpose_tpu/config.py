@@ -62,8 +62,14 @@ class Config:
     use_wrist_coord: bool = True
     sigma: float = 25.0
     hand_crop: bool = True
+    # terminal dataset-output transforms (reference dataloaderRHD.py:43-45,
+    # 464-512).  Both REPLACE the sample dict with a reduced one (so does
+    # the reference), hence they are dataset/pipeline capabilities and the
+    # Worker rejects them -- the reference trainer would KeyError likewise.
     random_crop_to_size: bool = False
+    random_crop_size: int = 256
     scale_to_size: bool = False
+    scale_target_size: Tuple[int, int] = (240, 320)
     hue_aug: bool = False
     coord_uv_noise: bool = False
     crop_center_noise: bool = False
@@ -78,12 +84,18 @@ class Config:
     input_channels: int = 24       # 3 | 21 | 24
     keypoint_num: int = 21
     resnet_out_feature_dim: int = 1024
+    # accepted-unused (schema parity): the reference declares it and then
+    # force-disables it per model (reference trainval.py:103); uv-loss
+    # gating lives in LOSS_GATES here.
     compute_uv_loss: bool = False
 
     # -- diffusion (reference config.py:55-61) --
     condition_feat_dim: int = 256
     num_timesteps: int = 400
     num_sampling_timesteps: int = 200
+    # accepted-unused (schema parity): the reference declares
+    # keypoint_feat_Ch but hardcodes channels=1 in the diffusion wrapper
+    # (reference diffusionJointEstimation.py:21) and never reads the flag.
     keypoint_feat_ch: int = 1
     bone_length_num: int = 20
     other_joint_angles_num: int = 23
@@ -119,6 +131,11 @@ class Config:
     # -- input/output geometry (reference config.py:106-112) --
     image_size: Tuple[int, int] = (320, 320)   # RHD raw size
     input_img_shape: Tuple[int, int] = (256, 256)
+    # accepted-unused by the harnesses (schema parity): consumed only by the
+    # InterHand heatmap-space helpers, which take them as explicit arguments
+    # here (ops/patch.py::transform_input_to_output_space,
+    # ops/heatmap.py 3-D variant) rather than reading global config
+    # (reference utils/preprocessing.py:141-149, compute_heatmap.py:13-15).
     output_hm_shape: Tuple[int, int, int] = (64, 64, 64)
     bbox_3d_size: float = 400.0
     bbox_3d_size_root: float = 400.0

@@ -85,8 +85,10 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
     the mesh's data axis before preprocessing, so the geometry pipeline
     itself runs data-parallel.  ``aug_flags`` (coord_uv_noise,
     crop_center_noise, crop_scale_noise, crop_offset_noise,
-    scoremap_dropout, hue_aug) enable train-time augmentations; ``aug_rng``
-    seeds them, split fresh per batch.
+    scoremap_dropout, hue_aug, and the terminal dataset transforms
+    scale_to_size / scale_target_size / random_crop_to_size /
+    random_crop_size) enable train-time augmentations; ``aug_rng``
+    seeds the stochastic ones, split fresh per batch.
     """
     flags = aug_flags or {}
 

@@ -49,7 +49,9 @@ _SWITCH_PERM = [0] + [i + d for i in (1, 5, 9, 13, 17) for d in (3, 2, 1, 0)]
                                    "hand_crop", "coord_uv_noise",
                                    "crop_center_noise", "crop_scale_noise",
                                    "crop_offset_noise", "scoremap_dropout",
-                                   "hue_aug", "full_contract"))
+                                   "hue_aug", "full_contract",
+                                   "scale_to_size", "scale_target_size",
+                                   "random_crop_to_size", "random_crop_size"))
 def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      use_wrist_coord: bool = True,
                      switch_joint_order: bool = True,
@@ -62,7 +64,11 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      crop_offset_noise: bool = False,
                      scoremap_dropout: bool = False,
                      hue_aug: bool = False,
-                     full_contract: bool = False) -> dict:
+                     full_contract: bool = False,
+                     scale_to_size: bool = False,
+                     scale_target_size: tuple = (240, 320),
+                     random_crop_to_size: bool = False,
+                     random_crop_size: int = 256) -> dict:
     """(B, ...) raw inputs -> the reference sample-dict contract, batched.
 
     Returns a dict with the keys consumed at reference trainval.py:276-291
@@ -80,10 +86,11 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     never consume -- off by default to keep the hot path lean.
     """
     aug_on = (coord_uv_noise or crop_center_noise or crop_scale_noise or
-              crop_offset_noise or scoremap_dropout or hue_aug)
+              crop_offset_noise or scoremap_dropout or hue_aug or
+              random_crop_to_size)
     if aug_on:
         assert rng is not None, "augmentations need an rng key"
-        rngs = list(jax.random.split(rng, 6))
+        rngs = list(jax.random.split(rng, 7))
     B, H, W, _ = raw.image.shape
     image = raw.image.astype(jnp.float32) / 255.0 - 0.5
     kp_uv = raw.keypoint_uv.astype(jnp.float32)
@@ -218,6 +225,40 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
         out["keypoint_vis21"] = out["keypoint_vis21"][:, perm]
         out["keypoint_uv21"] = out["keypoint_uv21"][:, perm]
         out["keypoint_xyz21"] = out["keypoint_xyz21"][:, perm]
+
+    # terminal dataset-output transforms (reference dataloaderRHD.py:464-512)
+    # -- like the reference, both branches REPLACE the sample dict with a
+    # reduced one, so they are dataset-level capabilities, not trainer
+    # inputs (the reference trainer would KeyError on either; Worker
+    # rejects them explicitly).
+    if scale_to_size:
+        # live reference branch (dataloaderRHD.py:464-488): resize the FULL
+        # image to scale_target_size and scale keypoint_uv21 by
+        # target/full-image -- even though with hand_crop=True the uv is in
+        # crop space; the incoherence is the reference's, kept for parity.
+        th, tw = scale_target_size
+        resized = jax.image.resize(out["image"], (B, th, tw, 3),
+                                   method="bilinear")
+        uv = out["keypoint_uv21"] * jnp.asarray([tw / W, th / H], jnp.float32)
+        return {"image": resized, "keypoint_uv21": uv,
+                "keypoint_vis21": out["keypoint_vis21"]}
+    if random_crop_to_size:
+        # the reference's branch body is commented out (dataloaderRHD.py:
+        # 490-512, a bare `pass`); this implements its documented intent:
+        # one random crop applied consistently to image + hand_parts +
+        # hand_mask, keypoints untouched (so was the sketch).
+        S = random_crop_size
+        oy = jax.random.randint(rngs[6], (B,), 0, H - S + 1)
+        ox = jax.random.randint(jax.random.fold_in(rngs[6], 1), (B,), 0,
+                                W - S + 1)
+        img_c = jax.vmap(lambda a, y, x: jax.lax.dynamic_slice(
+            a, (y, x, 0), (S, S, a.shape[-1])))(out["image"], oy, ox)
+        parts_c = jax.vmap(lambda a, y, x: jax.lax.dynamic_slice(
+            a, (y, x), (S, S)))(m, oy, ox)
+        any_c = parts_c > 1
+        return {"image": img_c, "hand_parts": parts_c,
+                "hand_mask": jnp.stack([(~any_c).astype(jnp.int32),
+                                        any_c.astype(jnp.int32)], axis=-1)}
 
     return out
 

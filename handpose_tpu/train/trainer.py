@@ -39,6 +39,16 @@ class Worker:
     def __init__(self, cfg: Config, run_dir: Optional[str] = None,
                  mesh=None):
         self.cfg = cfg
+        if cfg.scale_to_size or cfg.random_crop_to_size:
+            # both terminal transforms REPLACE the sample dict with a
+            # reduced one that cannot feed any model (the reference trainer
+            # KeyErrors the same way, dataloaderRHD.py:464-512); they are
+            # dataset/pipeline capabilities -- use preprocess_batch /
+            # device_batches directly.
+            raise ValueError(
+                "scale_to_size / random_crop_to_size produce reduced "
+                "dataset outputs incompatible with training; use the data "
+                "pipeline directly")
         if cfg.debug_nans:
             # traps the first op producing a NaN (SURVEY.md §5: the
             # sanitizer the reference lacked)

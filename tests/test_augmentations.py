@@ -97,3 +97,53 @@ def test_heatmap_3d_matches_reference_formula():
                  - (((zz[None, None] - jc[:, :, 2, None, None, None]) / sigma)
                     ** 2) / 2) * 255
     np.testing.assert_allclose(vol, ref, atol=1e-3)
+
+
+def test_scale_to_size_branch(raw):
+    """Flag on -> reduced dict {image, uv, vis} at scale_target_size
+    (reference dataloaderRHD.py:464-488: replaces data_dict; uv scaled by
+    target/full-image even though uv is crop-space -- reference quirk)."""
+    base = preprocess_batch(raw)
+    out = preprocess_batch(raw, scale_to_size=True,
+                           scale_target_size=(240, 320))
+    assert set(out) == {"image", "keypoint_uv21", "keypoint_vis21"}
+    B, H, W, _ = raw.image.shape
+    assert out["image"].shape == (B, 240, 320, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["keypoint_uv21"]),
+        np.asarray(base["keypoint_uv21"]) *
+        np.asarray([320 / W, 240 / H], np.float32), rtol=1e-6)
+
+
+def test_random_crop_to_size_branch(raw):
+    """Flag on -> reduced dict {image, hand_parts, hand_mask} cropped to
+    random_crop_size (intended behavior of the commented-out reference
+    branch, dataloaderRHD.py:490-512)."""
+    out = preprocess_batch(raw, rng=jax.random.PRNGKey(3),
+                           random_crop_to_size=True, random_crop_size=200)
+    assert set(out) == {"image", "hand_parts", "hand_mask"}
+    B, H, W, _ = raw.image.shape
+    assert out["image"].shape == (B, 200, 200, 3)
+    assert out["hand_parts"].shape == (B, 200, 200)
+    assert out["hand_mask"].shape == (B, 200, 200, 2)
+    # different rng -> different crop window
+    out2 = preprocess_batch(raw, rng=jax.random.PRNGKey(4),
+                            random_crop_to_size=True, random_crop_size=200)
+    assert not np.allclose(np.asarray(out["image"]),
+                           np.asarray(out2["image"]))
+    # crop content comes from the (mirrored) full image
+    full = preprocess_batch(raw)["image"]
+    # hand_mask consistency: mask channels complement each other
+    hm = np.asarray(out["hand_mask"])
+    np.testing.assert_array_equal(hm.sum(-1), np.ones_like(hm[..., 0]))
+    assert full.shape[1] >= 200
+
+
+def test_worker_rejects_terminal_transforms(tmp_path):
+    from handpose_tpu.config import Config
+    from handpose_tpu.train import Worker
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 use_fake_data=True, save_log_dir=str(tmp_path),
+                 scale_to_size=True)
+    with pytest.raises(ValueError, match="scale_to_size"):
+        Worker(cfg)
