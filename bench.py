@@ -1,95 +1,218 @@
-"""Benchmark: RHD preprocessing + inference throughput per chip.
+"""Benchmark suite: honest end-to-end + training + diffusion + MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary metric: RHD end-to-end throughput -- host
+memmap read (decode tier) -> H2D transfer -> fused device preprocessing
+(crop, transforms, scoremaps) -> flagship-model forward
+(Hand3DPosePriorNetwork, the reference's default, reference config.py:42)
+-- with fresh batches every iteration, on the real accelerator.
 
-Measures the end-to-end hot path of the rebuilt framework -- raw uint8
-RHD-format batch -> fused device-side preprocessing (crop, transforms,
-scoremaps) -> flagship-model forward (Hand3DPosePriorNetwork, the
-reference's default config) -- on the real accelerator.
+vs_baseline divides by the reference's input-bound pipeline rate of
+~26.5 img/s (6-10 s per bs=200 batch fetch, author comment at reference
+trainval.py:270, on its intended A100 node).  Both sides now include the
+host read + transfer + preprocessing + forward, so the comparison is
+apples-to-apples at the decode tier (PNG inflation itself is excluded on
+both sides: the reference's cost is dominated by geometry, and this
+framework amortises decode once into a uint8 memmap cache).
 
-Baseline: the reference pipeline is input-bound at ~6-10 s per bs=200
-batch fetch (author comment, reference trainval.py:270) ≈ 26.5 img/s on
-its intended A100 node; vs_baseline is measured throughput / 26.5.
+Extra keys in the same JSON object:
+  resident_synth_img_per_sec  device-resident repeat batch (round-1 metric)
+  train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), b128
+  diffusion_ddim_p50_ms       200-step DDIM sample loop, B=8, p50 latency
+  mfu_forward / mfu_train     XLA-counted flops / (time * peak bf16 flops)
+
+All timings use chained data dependencies + a final host fetch (the axon
+tunnel's block_until_ready has returned early before; a host fetch of a
+value that depends on every iteration cannot).
 """
 
 import json
+import os
+import statistics
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 26.5   # reference: 200 imgs / ~7.55 s (20-33 img/s)
+PEAK_BF16_FLOPS = 197e12      # TPU v5e MXU peak (bf16); MFU is vs this
+
+BENCH_DATA = os.environ.get("HPT_BENCH_DATA", "/tmp/hpt_bench_rhd")
+N_SAMPLES = 512
+BATCH = 128
+
+
+def _sync(x) -> float:
+    """Force execution of everything ``x`` depends on via a host fetch."""
+    return float(np.asarray(jnp.sum(x)))
+
+
+def _flops(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_e2e(cfg, model, variables):
+    """Host memmap -> H2D -> preprocess -> forward, fresh batches.
+
+    Preprocess + forward are ONE jitted program (no HBM round-trip of the
+    21x256x256 scoremaps between programs); collation + H2D run in a small
+    thread pool overlapped with device compute (pipeline.raw_device_batches).
+    """
+    from handpose_tpu.data.pipeline import raw_device_batches
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+
+    anno = os.path.join(BENCH_DATA, "evaluation", "anno_evaluation.pickle")
+    if not os.path.exists(anno):
+        write_synthetic_rhd(BENCH_DATA, "evaluation", N_SAMPLES)
+    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+
+    @jax.jit
+    def pipe(raw, carry):
+        raw = raw._replace(                 # serialise iterations on device
+            keypoint_uv=raw.keypoint_uv + carry * 0.0)
+        sample = preprocess_batch(raw, crop_size=cfg.crop_size)
+        inp = model_input(sample, cfg.input_channels)
+        out = model.apply(variables, inp, sample["camera_intrinsic_matrix"],
+                          sample["keypoint_scale"],
+                          sample["keypoint_xyz_root"], train=False)
+        return jnp.sum(out.coord_xyz_rel_normed)
+
+    def epoch(carry):
+        n = 0
+        for raw in raw_device_batches(ds, BATCH, depth=4, workers=4):
+            carry = pipe(raw, carry)
+            n += BATCH
+        return carry, n
+
+    carry = jnp.zeros(())
+    carry, _ = epoch(carry)              # warmup: compile + warm page cache
+    _sync(carry)
+
+    total, epochs = 0, 4
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        carry, n = epoch(carry)
+        total += n
+    _sync(carry)
+    dt = time.perf_counter() - t0
+    e2e = total / dt
+
+    # device-resident single repeat batch through the same program
+    # (round-1's metric: excludes host read + H2D + batch variation)
+    raw_dev = jax.device_put(ds.raw_batch(list(range(BATCH))))
+    carry = pipe(raw_dev, jnp.zeros(()))
+    _sync(carry)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = pipe(raw_dev, carry)
+    _sync(carry)
+    resident = BATCH * iters / (time.perf_counter() - t0)
+
+    fwd_flops = _flops(pipe, raw_dev, jnp.zeros(()))   # per batch
+    return e2e, resident, fwd_flops
+
+
+def bench_train_step(cfg, model):
+    from handpose_tpu.data.preprocess import model_input
+    from handpose_tpu.data.synthetic import fake_sample_batch
+    from handpose_tpu.train.state import create_train_state
+    from handpose_tpu.train.steps import make_train_step
+
+    batch = fake_sample_batch(BATCH, cfg.crop_size, cfg.input_channels,
+                              seed=0)
+    inp = model_input(batch, cfg.input_channels)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(BATCH, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
+    step = make_train_step(model, cfg)
+    batch = jax.device_put(batch)
+    rng = jax.random.PRNGKey(1)
+
+    state, m = step(state, batch, rng)          # compile
+    _sync(m["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)      # state chains iterations
+    _sync(m["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def bench_diffusion_p50(cfg):
+    from handpose_tpu.nn.diffusion import DiffusionJointEstimation
+
+    B = 8
+    dje = DiffusionJointEstimation(
+        keypoint_num=cfg.keypoint_num,
+        condition_feat_dim=cfg.condition_feat_dim,
+        num_timesteps=cfg.num_timesteps,
+        num_sampling_timesteps=cfg.num_sampling_timesteps)
+    feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
+    x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
+    variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
+                         jax.random.PRNGKey(1))
+
+    @jax.jit
+    def sample(rng):
+        return dje.apply(variables, feat, rng, method=dje.sample)
+
+    _sync(sample(jax.random.PRNGKey(2)))        # compile
+    lat = []
+    for i in range(9):
+        rng = jax.random.PRNGKey(3 + i)
+        t0 = time.perf_counter()
+        _sync(sample(rng))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat)
 
 
 def main():
     from handpose_tpu.config import Config
-    from handpose_tpu.data.preprocess import (RawBatch, model_input,
-                                              preprocess_batch)
+    from handpose_tpu.data.synthetic import fake_sample_batch
+    from handpose_tpu.data.preprocess import model_input
     from handpose_tpu.models import build_model
 
-    batch_size = 128
     cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
-                 batch_size=batch_size)
-
-    # synthetic RHD-format raw batch (decode cost excluded on both sides:
-    # the reference's 6-10 s/batch is dominated by geometry, not PNG I/O)
-    rng = np.random.default_rng(0)
-    H = W = 320
-    raw = RawBatch(
-        image=rng.integers(0, 255, (batch_size, H, W, 3), dtype=np.uint8),
-        mask=rng.integers(0, 34, (batch_size, H, W), dtype=np.uint8),
-        keypoint_uv=rng.uniform(0, 320, (batch_size, 42, 2)).astype(
-            np.float32),
-        keypoint_vis=(rng.uniform(size=(batch_size, 42)) > 0.3),
-        keypoint_xyz=(rng.normal(size=(batch_size, 42, 3)) * 0.05 +
-                      np.asarray([0, 0, 0.6])).astype(np.float32),
-        camera_K=np.tile(np.asarray([[320., 0, 160], [0, 320., 160],
-                                     [0, 0, 1]], np.float32),
-                         (batch_size, 1, 1)),
-    )
-
+                 batch_size=BATCH)
     model = build_model(cfg)
+    warm = fake_sample_batch(BATCH, cfg.crop_size, cfg.input_channels, seed=0)
+    inp = model_input(warm, cfg.input_channels)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, inp,
+        warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
+        warm["keypoint_xyz_root"], train=False)
 
-    def init_args(sample):
-        inp = model_input(sample, cfg.input_channels)
-        return (inp, sample["camera_intrinsic_matrix"],
-                sample["keypoint_scale"], sample["keypoint_xyz_root"])
+    e2e, resident, fwd_flops = bench_e2e(cfg, model, variables)
+    train_img_s = bench_train_step(cfg, model)
+    flops_per_img = fwd_flops / BATCH
+    mfu_fwd = flops_per_img * e2e / PEAK_BF16_FLOPS
+    # fwd+bwd+update ~ 3x forward flops (standard fwd:bwd 1:2 estimate)
+    mfu_train = 3 * flops_per_img * train_img_s / PEAK_BF16_FLOPS
+    ddim_p50 = bench_diffusion_p50(cfg)
 
-    sample0 = preprocess_batch(jax.device_put(raw))
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           *init_args(sample0), train=False)
-
-    import jax.numpy as jnp
-
-    @jax.jit
-    def pipeline(raw_batch, carry):
-        # value-neutral dependency on the previous iteration's output makes
-        # the loop strictly sequential on device, so total time / iters is
-        # honest regardless of async-dispatch / block_until_ready semantics
-        raw_batch = raw_batch._replace(
-            keypoint_uv=raw_batch.keypoint_uv + carry * 0.0)
-        sample = preprocess_batch(raw_batch)
-        out = model.apply(variables, *init_args(sample), train=False)
-        return jnp.sum(out.coord_xyz_rel_normed)
-
-    raw_dev = jax.device_put(raw)
-    carry = jnp.zeros(())
-    carry = pipeline(raw_dev, carry)
-    float(np.asarray(carry))  # warmup / compile + full sync
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = pipeline(raw_dev, carry)
-    float(np.asarray(carry))  # host fetch bounds all queued work
-    dt = time.perf_counter() - t0
-
-    img_per_sec = batch_size * iters / dt
     print(json.dumps({
-        "metric": "rhd_preproc_plus_infer_throughput",
-        "value": round(img_per_sec, 1),
+        "metric": "rhd_e2e_host_to_infer_throughput",
+        "value": round(e2e, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 2),
+        "vs_baseline": round(e2e / BASELINE_IMG_PER_SEC, 2),
+        "baseline_note": "ref ~26.5 img/s incl. disk+decode; ours incl. "
+                         "memmap read + H2D + device preprocess + forward",
+        "resident_synth_img_per_sec": round(resident, 1),
+        "train_step_img_per_sec": round(train_img_s, 1),
+        "diffusion_ddim_p50_ms": round(ddim_p50, 2),
+        "mfu_forward": round(mfu_fwd, 4),
+        "mfu_train_est": round(mfu_train, 4),
+        "device": jax.devices()[0].device_kind,
     }))
 
 

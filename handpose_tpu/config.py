@@ -153,6 +153,9 @@ class Config:
     infer_resume_weight_path: str | None = None
 
     # -- TPU-specific --
+    # decode every image once into a uint8 memmap next to the dataset;
+    # later epochs stream at memory bandwidth (RHD + InterHand)
+    cache_decoded: bool = False
     nan_check: bool = True     # abort on non-finite training loss
     debug_nans: bool = False   # jax_debug_nans (traps the op that made one)
     profile_epoch: int = -1    # capture a jax.profiler trace of this epoch

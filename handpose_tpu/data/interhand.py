@@ -62,17 +62,20 @@ class InterHandDataset:
                  input_img_shape=(256, 256), num_decode_threads: int = 8,
                  pad_to: tuple | None = None,
                  cache_decoded: bool = False):
-        """``pad_to``: optional fixed (H, W) zero-padding target for the
-        decoded images -- real InterHand captures vary in resolution and a
-        fixed shape keeps one compiled preprocessing program (bboxes are
-        already clamped to the true extents, so padding is crop-safe).
+        """``pad_to``: fixed (H, W) zero-padding target for the decoded
+        images -- real InterHand captures vary in resolution and a fixed
+        shape keeps one compiled preprocessing program (bboxes are already
+        clamped to the true extents, so padding is crop-safe).  Pass
+        ``"auto"`` to derive (max_h, max_w) from the annotations (what the
+        Worker does); None disables padding (single-resolution data only,
+        otherwise every new resolution retraces the jitted preprocessing).
         ``cache_decoded`` (requires pad_to): decode every image once into a
         uint8 memmap next to the dataset; later epochs stream at memory
         bandwidth like the RHD cache."""
         assert set_type in ("train", "test", "val")
         self.root_dir = root_dir
         self.mode = set_type
-        self.pad_to = pad_to
+        self.pad_to = None if pad_to == "auto" else pad_to
         self.img_path = osp.join(root_dir, "images")
         annot_path = osp.join(root_dir, "annotations")
         self.joint_num = 21
@@ -145,10 +148,13 @@ class InterHandDataset:
                 "bbox": bbox,
                 "width": img["width"], "height": img["height"],
             })
+        if pad_to == "auto" and self.datalist:
+            self.pad_to = (max(d["height"] for d in self.datalist),
+                           max(d["width"] for d in self.datalist))
         self._pool = ThreadPoolExecutor(num_decode_threads)
         self._color_mm = None
         if cache_decoded:
-            assert pad_to is not None, "cache_decoded requires pad_to"
+            assert self.pad_to is not None, "cache_decoded requires pad_to"
             self._build_cache()
 
     def __len__(self):
@@ -255,8 +261,13 @@ class InterHandDataset:
 
 def write_synthetic_interhand(root_dir: str, set_type: str = "val",
                               n: int = 6, seed: int = 0,
-                              image_size: int = 320) -> None:
-    """Write a miniature InterHand2.6M-format tree (COCO jsons + images)."""
+                              image_size: int = 320,
+                              image_sizes=None) -> None:
+    """Write a miniature InterHand2.6M-format tree (COCO jsons + images).
+
+    ``image_sizes``: optional per-sample list of (H, W) -- real InterHand
+    captures vary in resolution, and tests use this to prove the pipeline
+    compiles one fixed-shape program regardless (via pad_to)."""
     rng = np.random.default_rng(seed)
     ann_dir = osp.join(root_dir, "annotations", set_type)
     img_dir = osp.join(root_dir, "images", set_type)
@@ -267,18 +278,21 @@ def write_synthetic_interhand(root_dir: str, set_type: str = "val",
     cameras = {"0": {"campos": {}, "camrot": {}, "focal": {}, "princpt": {}}}
     joints = {"0": {}}
     for i in range(n):
+        if image_sizes is not None:
+            ih, iw = image_sizes[i % len(image_sizes)]
+        else:
+            ih = iw = image_size
         fname = f"img_{i:05d}.jpg"
-        img = rng.integers(0, 255, (image_size, image_size, 3),
-                           dtype=np.uint8)
+        img = rng.integers(0, 255, (ih, iw, 3), dtype=np.uint8)
         cv2.imwrite(osp.join(img_dir, fname), img[:, :, ::-1])
         images.append({"id": i, "file_name": fname, "capture": 0,
                        "camera": str(i), "frame_idx": i,
-                       "seq_name": "synthetic", "width": image_size,
-                       "height": image_size})
+                       "seq_name": "synthetic", "width": iw,
+                       "height": ih})
         campos = rng.normal(scale=50, size=3)
         camrot = np.eye(3)
         focal = [300.0 + rng.uniform(-10, 10), 300.0 + rng.uniform(-10, 10)]
-        princpt = [image_size / 2.0, image_size / 2.0]
+        princpt = [iw / 2.0, ih / 2.0]
         cameras["0"]["campos"][str(i)] = campos.tolist()
         cameras["0"]["camrot"][str(i)] = camrot.tolist()
         cameras["0"]["focal"][str(i)] = focal

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import jax
@@ -71,6 +73,61 @@ def prefetch(iterator, depth: int = 2):
                 q.get_nowait()
             except queue.Empty:
                 break
+
+
+def prefetch_map(fn, items, *, depth: int = 4,
+                 workers: int = 2) -> Iterator:
+    """Ordered, bounded map over ``items`` in a thread pool.
+
+    Up to ``depth`` results are in flight; results are yielded in input
+    order.  Used to overlap host collation + H2D transfer across batches
+    (one producer thread caps throughput at collate+transfer latency; a
+    small pool hides the collate behind the transfer of its neighbours).
+    """
+    with ThreadPoolExecutor(workers) as ex:
+        futs: deque = deque()
+        it = iter(items)
+        try:
+            for item in it:
+                futs.append(ex.submit(fn, item))
+                if len(futs) >= depth:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+        finally:
+            for f in futs:
+                f.cancel()
+
+
+def raw_device_batches(dataset, batch_size: int, *, shuffle: bool = False,
+                       seed: int = 0, drop_remainder: bool = True,
+                       sharding: Optional[jax.sharding.Sharding] = None,
+                       depth: int = 4, workers: int = 2) -> Iterator:
+    """Device-resident raw batches: collate + H2D in a small thread pool.
+
+    ``dataset`` needs ``__len__`` and ``raw_batch(indices)`` (RHDDataset /
+    InterHandDataset).  Each worker collates one batch from host storage
+    and pushes it to the device immediately, so the transfer of batch k
+    overlaps the collation of batch k+1..k+depth and the device compute of
+    batch k-1 -- the consumer only ever touches device handles.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = len(order)
+    end = n - (n % batch_size) if drop_remainder else n
+    chunks = [list(order[s:s + batch_size])
+              for s in range(0, end, batch_size)
+              if not (drop_remainder and s + batch_size > end)]
+
+    def load(idx):
+        raw = dataset.raw_batch(idx)
+        if sharding is None:
+            return jax.device_put(raw)
+        return jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), sharding), raw)
+
+    yield from prefetch_map(load, chunks, depth=depth, workers=workers)
 
 
 def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.preprocess import model_input
-from ..data.pipeline import device_batches
+from ..data.pipeline import device_batches, raw_device_batches
 from ..data.rhd import RHDDataset
 from ..data.synthetic import fake_sample_batch
 from ..models import build_model
@@ -68,18 +68,25 @@ class Worker:
             train_split = ("evaluation" if cfg.use_val_dataset_to_debug
                            else "training")
             self.train_ds = RHDDataset(cfg.dataset_root_dir, train_split,
-                                       cfg.num_workers)
+                                       cfg.num_workers,
+                                       cache_decoded=cfg.cache_decoded)
             self.val_ds = RHDDataset(cfg.dataset_root_dir, "evaluation",
-                                     cfg.num_workers)
+                                     cfg.num_workers,
+                                     cache_decoded=cfg.cache_decoded)
             self.steps_per_epoch = max(len(self.train_ds) // cfg.batch_size, 1)
         elif cfg.dataset_name == "InterHand2.6M":
             from ..data.interhand import InterHandDataset
+            # pad_to="auto": real captures vary in resolution; a fixed
+            # padded shape keeps ONE compiled preprocessing program instead
+            # of retracing (or OOMing the compile cache) per resolution
             self.train_ds = InterHandDataset(
                 cfg.dataset_root_dir, "train", cfg.fast_trainval,
-                cfg.trans_test, cfg.input_img_shape, cfg.num_workers)
+                cfg.trans_test, cfg.input_img_shape, cfg.num_workers,
+                pad_to="auto", cache_decoded=cfg.cache_decoded)
             self.val_ds = InterHandDataset(
                 cfg.dataset_root_dir, "val", cfg.fast_trainval,
-                cfg.trans_test, cfg.input_img_shape, cfg.num_workers)
+                cfg.trans_test, cfg.input_img_shape, cfg.num_workers,
+                pad_to="auto", cache_decoded=cfg.cache_decoded)
             self.steps_per_epoch = max(len(self.train_ds) // cfg.batch_size, 1)
         else:
             raise ValueError(f"dataset {cfg.dataset_name} not supported here")
@@ -150,8 +157,15 @@ class Worker:
                          hue_aug=cfg.hue_aug) if is_train else None
         aug_rng = jax.random.PRNGKey(cfg.seed * 7919 + seed) \
             if is_train else None
+        # collate + H2D overlapped in a small thread pool (the raw batches
+        # arrive on device; device_batches then only runs the jitted
+        # preprocessing)
+        raw_iter = raw_device_batches(
+            ds, cfg.batch_size, shuffle=shuffle, seed=seed,
+            depth=max(cfg.prefetch_depth, 2),
+            workers=min(4, max(cfg.num_workers, 1)))
         yield from device_batches(
-            ds.batches(cfg.batch_size, shuffle=shuffle, seed=seed),
+            raw_iter,
             crop_size=cfg.crop_size, sigma=cfg.sigma,
             switch_joint_order=cfg.joint_order_switched,
             prefetch_depth=cfg.prefetch_depth,

@@ -132,3 +132,58 @@ def test_prefetch_early_abandon_stops_producer():
     # producer stopped well short of the 1000 items
     assert len(produced) < 20
     assert threading.active_count() <= before + 1
+
+
+def test_prefetch_map_ordered_and_bounded():
+    from handpose_tpu.data.pipeline import prefetch_map
+    import threading
+    import time
+
+    in_flight = []
+    peak = [0]
+    lock = threading.Lock()
+
+    def fn(i):
+        with lock:
+            in_flight.append(i)
+            peak[0] = max(peak[0], len(in_flight))
+        time.sleep(0.01 * ((i % 3) + 1))   # jittered completion order
+        with lock:
+            in_flight.remove(i)
+        return i * i
+
+    out = list(prefetch_map(fn, range(12), depth=3, workers=3))
+    assert out == [i * i for i in range(12)]          # input order preserved
+    assert peak[0] <= 4                                # bounded in flight
+
+
+def test_raw_device_batches_matches_direct(mini_rhd):
+    from handpose_tpu.data.pipeline import raw_device_batches
+    from handpose_tpu.data.rhd import RHDDataset
+
+    ds = RHDDataset(mini_rhd, "evaluation")
+    direct = list(ds.batches(4))
+    threaded = list(raw_device_batches(ds, 4, workers=3, depth=2))
+    assert len(direct) == len(threaded)
+    for a, b in zip(direct, threaded):
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))
+        np.testing.assert_array_equal(np.asarray(a.keypoint_xyz),
+                                      np.asarray(b.keypoint_xyz))
+
+
+def test_raw_device_batches_early_abandon(mini_rhd):
+    """Abandoning the generator must not leak blocked worker threads."""
+    import threading
+
+    from handpose_tpu.data.pipeline import raw_device_batches
+    from handpose_tpu.data.rhd import RHDDataset
+
+    before = threading.active_count()
+    ds = RHDDataset(mini_rhd, "evaluation")
+    for _ in range(3):
+        gen = raw_device_batches(ds, 2, workers=2, depth=2)
+        next(gen)
+        gen.close()
+    # dataset keeps its own decode pool; only transient map workers vary
+    assert threading.active_count() <= before + 4

@@ -117,3 +117,57 @@ def test_interhand_decoded_cache(tmp_path):
     b = cached.raw_batch([0, 1, 2])
     np.testing.assert_array_equal(a.image, b.image)
     np.testing.assert_array_equal(a.bbox, b.bbox)
+
+
+def test_variable_resolution_single_compile(tmp_path):
+    """Mixed-resolution captures (like real InterHand2.6M) must flow
+    through ONE compiled preprocessing program via pad_to='auto' --
+    without it, every new resolution retraces the jitted pipeline."""
+    from handpose_tpu.data.interhand import (InterHandDataset,
+                                             write_synthetic_interhand)
+    from handpose_tpu.data.preprocess import preprocess_interhand_batch
+
+    root = tmp_path / "ih_varres"
+    write_synthetic_interhand(
+        str(root), "val", n=6, seed=7,
+        image_sizes=[(320, 320), (256, 224), (288, 304)])
+    ds = InterHandDataset(str(root), "val", pad_to="auto")
+    assert ds.pad_to == (320, 320)
+
+    shapes = set()
+    samples = []
+    for raw in ds.batches(2):
+        shapes.add(raw.image.shape)
+        samples.append(preprocess_interhand_batch(raw, crop_size=128))
+    assert len(shapes) == 1, f"padding failed, saw shapes {shapes}"
+    assert len(samples) == 3
+    for s in samples:
+        assert s["image_crop"].shape == (2, 128, 128, 3)
+        assert np.isfinite(np.asarray(s["keypoint_xyz21"])).all()
+
+
+def test_worker_wires_pad_and_cache(tmp_path):
+    """Worker must construct InterHandDataset with pad_to='auto' and the
+    config's cache_decoded so real variable-resolution runs hold one
+    compiled program and stream from the memmap cache."""
+    from handpose_tpu.config import Config
+    from handpose_tpu.data.interhand import write_synthetic_interhand
+    from handpose_tpu.train import Worker
+
+    root = tmp_path / "ih_wire"
+    sizes = [(320, 320), (256, 224)]
+    write_synthetic_interhand(str(root), "train", n=4, seed=1,
+                              image_sizes=sizes)
+    write_synthetic_interhand(str(root), "val", n=4, seed=2,
+                              image_sizes=sizes)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="InterHand2.6M", dataset_root_dir=str(root),
+                 batch_size=2, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128, cache_decoded=True,
+                 save_log_dir=str(tmp_path / "logs"))
+    w = Worker(cfg)
+    assert w.train_ds.pad_to == (320, 320)
+    assert w.train_ds._color_mm is not None      # cache built
+    assert w.val_ds.pad_to == (320, 320)
+    shapes = {raw.image.shape for raw in w.train_ds.batches(2)}
+    assert len(shapes) == 1
