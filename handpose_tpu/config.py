@@ -153,6 +153,10 @@ class Config:
     infer_resume_weight_path: str | None = None
 
     # -- TPU-specific --
+    # per-iteration progress (the reference's tqdm loss-breakdown role,
+    # reference trainval.py:364): every N training steps, log the loss
+    # terms + step/input-stall timers to log.txt + console.  0 disables.
+    log_every_steps: int = 20
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False

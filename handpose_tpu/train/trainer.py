@@ -209,6 +209,17 @@ class Worker:
                     continue
                 losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
             n += 1
+            every = self.cfg.log_every_steps
+            if is_train and every and idx % every == 0:
+                # per-iteration visibility (reference tqdm loss breakdown,
+                # trainval.py:364) -- exposes input-boundness live
+                terms = ", ".join(
+                    f"{k}: {float(v):.5f}" for k, v in metrics.items()
+                    if k not in ("mpjpe_sum", "mpjpe_count"))
+                self.logger.text(
+                    f"  epoch {epoch:03d} iter {idx:05d}/"
+                    f"{self.steps_per_epoch:05d} | {terms} | "
+                    f"{self.stats.summary()}")
             self.stats.input.tic()
         self.stats.input.toc()
 
