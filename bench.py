@@ -86,7 +86,7 @@ def bench_e2e(cfg, model, variables):
 
     def epoch(carry):
         n = 0
-        for raw in raw_device_batches(ds, BATCH, depth=4, workers=4):
+        for raw in raw_device_batches(ds, BATCH, depth=2, workers=1):
             carry = pipe(raw, carry)
             n += BATCH
         return carry, n

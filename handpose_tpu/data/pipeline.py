@@ -102,14 +102,20 @@ def prefetch_map(fn, items, *, depth: int = 4,
 def raw_device_batches(dataset, batch_size: int, *, shuffle: bool = False,
                        seed: int = 0, drop_remainder: bool = True,
                        sharding: Optional[jax.sharding.Sharding] = None,
-                       depth: int = 4, workers: int = 2) -> Iterator:
-    """Device-resident raw batches: collate + H2D in a small thread pool.
+                       depth: int = 2, workers: int = 1) -> Iterator:
+    """Device-resident raw batches: threaded collate, main-thread H2D.
 
     ``dataset`` needs ``__len__`` and ``raw_batch(indices)`` (RHDDataset /
-    InterHandDataset).  Each worker collates one batch from host storage
-    and pushes it to the device immediately, so the transfer of batch k
-    overlaps the collation of batch k+1..k+depth and the device compute of
-    batch k-1 -- the consumer only ever touches device handles.
+    InterHandDataset).  Worker threads collate batches from host storage
+    (pure numpy -- parallelises cleanly); the H2D ``device_put`` happens on
+    the *calling* thread right before yield.  Measured on the axon tunnel,
+    device_put from background threads is ~50x slower than from the main
+    thread (per-thread client serialisation), so keeping the transfer on
+    the consumer thread and hiding the collate behind it is strictly
+    faster; the transfer itself is async and overlaps device compute of
+    the previous batch.  workers=1 is the measured sweet spot with the
+    memmap cache (concurrent 50MB numpy collates thrash the GIL against
+    the consumer's transfer); raise it only for decode-bound sources.
     """
     order = np.arange(len(dataset))
     if shuffle:
@@ -120,14 +126,13 @@ def raw_device_batches(dataset, batch_size: int, *, shuffle: bool = False,
               for s in range(0, end, batch_size)
               if not (drop_remainder and s + batch_size > end)]
 
-    def load(idx):
-        raw = dataset.raw_batch(idx)
+    for raw in prefetch_map(dataset.raw_batch, chunks, depth=depth,
+                            workers=workers):
         if sharding is None:
-            return jax.device_put(raw)
-        return jax.tree.map(
-            lambda a: jax.device_put(np.asarray(a), sharding), raw)
-
-    yield from prefetch_map(load, chunks, depth=depth, workers=workers)
+            yield jax.device_put(raw)
+        else:
+            yield jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), sharding), raw)
 
 
 def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
@@ -146,6 +151,11 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
     scale_to_size / scale_target_size / random_crop_to_size /
     random_crop_size) enable train-time augmentations; ``aug_rng``
     seeds the stochastic ones, split fresh per batch.
+
+    ``prefetch_depth=0`` iterates ``raw_iter`` inline (no extra thread) --
+    REQUIRED when raw_iter is ``raw_device_batches``, whose lazy
+    ``device_put`` must stay on the consuming thread (background-thread
+    transfers are ~50x slower over the axon tunnel).
     """
     flags = aug_flags or {}
 
@@ -156,7 +166,9 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
                             raw)
 
     rng = aug_rng
-    for raw in prefetch(raw_iter, prefetch_depth):
+    batches = (prefetch(raw_iter, prefetch_depth) if prefetch_depth > 0
+               else raw_iter)
+    for raw in batches:
         raw_dev = to_device(raw)
         if isinstance(raw, InterHandRawBatch):
             # InterHand path has no aug surface in the reference

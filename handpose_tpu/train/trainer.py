@@ -163,12 +163,15 @@ class Worker:
         raw_iter = raw_device_batches(
             ds, cfg.batch_size, shuffle=shuffle, seed=seed,
             depth=max(cfg.prefetch_depth, 2),
-            workers=min(4, max(cfg.num_workers, 1)))
+            workers=1 if getattr(ds, "_color_mm", None) is not None else 2)
+        # prefetch_depth=0: raw_iter already overlaps collate in its own
+        # pool, and its lazy device_put must run on THIS thread (see
+        # raw_device_batches)
         yield from device_batches(
             raw_iter,
             crop_size=cfg.crop_size, sigma=cfg.sigma,
             switch_joint_order=cfg.joint_order_switched,
-            prefetch_depth=cfg.prefetch_depth,
+            prefetch_depth=0,
             aug_rng=aug_rng, aug_flags=aug_flags)
 
     # ------------------------------------------------------------------
