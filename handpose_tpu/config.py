@@ -84,6 +84,10 @@ class Config:
     input_channels: int = 24       # 3 | 21 | 24
     keypoint_num: int = 21
     resnet_out_feature_dim: int = 1024
+    # backbone stem variant: 'k3s2' (reference conv1 swap) or 'k3s2_s2d'
+    # (same function via space-to-depth, 4x wider MXU contraction --
+    # exact-equivalence tested; a perf knob, not a semantic one)
+    resnet_stem: str = "k3s2"
     # accepted-unused (schema parity): the reference declares it and then
     # force-disables it per model (reference trainval.py:103); uv-loss
     # gating lives in LOSS_GATES here.

@@ -93,6 +93,7 @@ class TwoDimHandPose(nn.Module):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         pose = _TwoDimMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num,
@@ -117,6 +118,7 @@ class TwoDimHandPoseWithFK(nn.Module):
         kp = self.cfg.keypoint_num
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         pose = _TwoDimMLP(self.cfg.resnet_out_feature_dim, kp,
                           name="twoDimPoseEstimate")(feat)
@@ -156,6 +158,7 @@ class ThreeDimHandPose(nn.Module):
         from ..nn.mlp import DecayMLP
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         pose63 = DecayMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num * 3, divide=2,
@@ -186,6 +189,7 @@ class OnlyThreeDimHandPose(nn.Module):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         pose63 = DecayMLP(self.cfg.resnet_out_feature_dim,
                           self.cfg.keypoint_num * 3, divide=2,
@@ -211,7 +215,8 @@ class DiffusionHandPose(nn.Module):
 
     def setup(self):
         self.resnet_extractor = ResNetFeatureExtractor(
-            self.cfg.condition_feat_dim, dtype=_dt(self.cfg))
+            self.cfg.condition_feat_dim, dtype=_dt(self.cfg),
+            stem=self.cfg.resnet_stem)
         self.diff_model = DiffusionJointEstimation(
             keypoint_num=self.cfg.keypoint_num,
             condition_feat_dim=self.cfg.condition_feat_dim,
@@ -263,6 +268,7 @@ class MANO3DHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         root_angles, other_angles = MANOThetaPrediction(
             self.cfg.resnet_out_feature_dim, self.cfg.mano_pose_num,
@@ -321,6 +327,7 @@ class Resnet50MANO3DHandPose(nn.Module):
         pose_num = self.cfg.mano_pose_num
         fc_dim = 10 + pose_num + 3 + (3 if self.cfg.network_regress_uv else 0)
         feat = ExtendedResNet50(dtype=_dt(self.cfg),
+                                stem=self.cfg.resnet_stem,
                                 name="extended_resnet50_extractor")(img, train)
         xs = DecayMLP(1000, fc_dim, divide=2, activation="ReLU",
                       use_sigmoid=True, name="mlp")(feat)
@@ -348,6 +355,7 @@ class Hand3DPoseNet(nn.Module):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       dtype=_dt(self.cfg),
+                                      stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
         can = Pose3dPrediction(self.cfg.resnet_out_feature_dim,
                                self.cfg.keypoint_num,
@@ -381,9 +389,12 @@ class Hand3DPosePriorNetwork(nn.Module):
                  index_root_bone_length=None, keypoint_xyz_root=None,
                  pose_x0=None, train: bool = False):
         B = img.shape[0]
-        can = PosePrior(dtype=_dt(self.cfg), name="PosePrior_net")(img, train)
+        can = PosePrior(dtype=_dt(self.cfg), stem=self.cfg.resnet_stem,
+                        name="PosePrior_net")(img, train)
         can = can.reshape(B, -1, 3)
-        ux, uy, uz = ViewPoint(dtype=_dt(self.cfg), name="ViewPoint_net")(img, train)
+        ux, uy, uz = ViewPoint(dtype=_dt(self.cfg),
+                               stem=self.cfg.resnet_stem,
+                               name="ViewPoint_net")(img, train)
         rot_mat = axis_angle_rot_mat(jnp.concatenate([ux, uy, uz], axis=-1))
         rel_normed = can @ rot_mat
         if self.is_inference:

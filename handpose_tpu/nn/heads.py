@@ -89,10 +89,12 @@ class PosePrior(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    stem: str = "k3s2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = ExtendedResNet18(dtype=self.dtype, name="backbone")(x, train)
+        feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
+                                name="backbone")(x, train)
         return DecayMLP(1000, 63, divide=2, activation="LeakyReLU",
                         use_sigmoid=False, name="mlp")(feat)
 
@@ -104,10 +106,12 @@ class ViewPoint(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    stem: str = "k3s2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = ExtendedResNet18(dtype=self.dtype, name="backbone")(x, train)
+        feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
+                                name="backbone")(x, train)
         out = DecayMLP(1000, 3, divide=4, activation="LeakyReLU",
                        use_sigmoid=False, name="mlp")(feat)
         return out[:, 0:1], out[:, 1:2], out[:, 2:3]

@@ -30,6 +30,7 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -82,11 +83,69 @@ class BottleneckBlock(nn.Module):
         return nn.relu(residual + y)
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C); channel order (bh, bw, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // block, W // block, block * block * C)
+
+
+def stem_kernel_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Exactly re-express a k3 s2 p1 conv kernel for a space-to-depth input.
+
+    conv(x, w, k=3, s=2, p=1) == conv(s2d(x, 2), w', k=2, s=1, p=(1,0))
+    where each original tap (ky, kx) of ``w`` (3, 3, C, F) lands in w'
+    (2, 2, 4C, F) at block position ((ky+1)//2, (kx+1)//2) and channel
+    slot ((ky+1)%2, (kx+1)%2): output pixel (i, j) reads original rows
+    2i-1..2i+1 == s2d cells (i-1, i) at intra-cell rows (1, 0, 1).
+    """
+    k, _, C, F = w.shape
+    assert k == 3
+    wp = jnp.zeros((2, 2, 4 * C, F), w.dtype)
+    for ky in range(3):
+        cell_y, in_y = (ky + 1) // 2, (ky + 1) % 2
+        for kx in range(3):
+            cell_x, in_x = (kx + 1) // 2, (kx + 1) % 2
+            slot = (in_y * 2 + in_x) * C
+            wp = wp.at[cell_y, cell_x, slot:slot + C, :].set(w[ky, kx])
+    return wp
+
+
+class _StemConvS2D(nn.Module):
+    """k3 s2 p1 stem conv computed on a space-to-depth input.
+
+    Parameter path/shape is identical to the plain stem (``kernel`` of
+    (3, 3, C, F)), so checkpoints and the torch converter are
+    stem-agnostic; the (2, 2, 4C, F) re-expression happens at trace time
+    and XLA constant-folds it into the weights.
+    """
+
+    filters: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (3, 3, x.shape[-1], self.filters), jnp.float32)
+        wp = stem_kernel_to_s2d(w).astype(self.dtype)
+        xs = space_to_depth(x, 2).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            xs, wp, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """ResNet trunk + 1000-d fc (torchvision-compatible shape contract).
 
     ``stem`` selects between the reference's replaced conv1 (k=3, s=2;
-    'k3s2') and the classic 7x7 s2 stem ('k7s2').
+    'k3s2'), the classic 7x7 s2 stem ('k7s2'), and a space-to-depth
+    variant of the k3s2 stem ('k3s2_s2d') that computes the SAME function
+    (see :func:`stem_kernel_to_s2d`) but feeds the MXU a 4x-wider
+    contraction (e.g. 84 instead of 21 input channels) -- the standard
+    TPU ResNet stem optimisation.  Its parameters keep the (3, 3, C, F)
+    layout so checkpoints/converters are stem-agnostic; the re-expression
+    happens at trace time (XLA folds it into the weights).
     """
 
     stage_sizes: Sequence[int]
@@ -106,6 +165,9 @@ class ResNet(nn.Module):
         if self.stem == "k3s2":
             x = conv(self.num_filters, (3, 3), (2, 2),
                      padding=((1, 1), (1, 1)), name="conv_init")(x)
+        elif self.stem == "k3s2_s2d":
+            x = _StemConvS2D(self.num_filters, dtype=self.dtype,
+                             name="conv_init")(x)
         elif self.stem == "k7s2":
             x = conv(self.num_filters, (7, 7), (2, 2),
                      padding=((3, 3), (3, 3)), name="conv_init")(x)
@@ -140,10 +202,12 @@ class ResNetFeatureExtractor(nn.Module):
 
     feat_dim: int
     dtype: jnp.dtype = jnp.float32
+    stem: str = "k3s2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ResNet50(dtype=self.dtype, name="trunk")(x, train=train)
+        x = ResNet50(dtype=self.dtype, stem=self.stem,
+                     name="trunk")(x, train=train)
         return nn.Dense(self.feat_dim, name="fc_proj")(x)
 
 
@@ -154,10 +218,12 @@ class ExtendedResNet18(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    stem: str = "k3s2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ResNet18(dtype=self.dtype, name="trunk")(x, train=train)
+        return ResNet18(dtype=self.dtype, stem=self.stem,
+                        name="trunk")(x, train=train)
 
 
 class ExtendedResNet50(nn.Module):
@@ -167,10 +233,12 @@ class ExtendedResNet50(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    stem: str = "k3s2"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ResNet50(dtype=self.dtype, name="trunk")(x, train=train)
+        return ResNet50(dtype=self.dtype, stem=self.stem,
+                        name="trunk")(x, train=train)
 
 
 class ResNetMano(nn.Module):

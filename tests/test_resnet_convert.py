@@ -124,3 +124,32 @@ def test_converted_forward_matches_torch(block, layers, fblock, name):
     ours = fnet.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+
+def test_s2d_stem_exact_equivalence():
+    """'k3s2_s2d' computes the SAME function as the 'k3s2' stem with
+    identical parameters (same param path conv_init/kernel) -- it is a
+    pure MXU-layout optimisation (space-to-depth widens the contraction
+    4x), not a semantic change."""
+    import jax
+
+    from handpose_tpu.nn.resnet import ResNet, BasicBlock
+
+    x = np.random.default_rng(1).normal(
+        size=(2, 64, 64, 21)).astype(np.float32)
+    base = ResNet(stage_sizes=[2, 2, 2, 2], block_cls=BasicBlock,
+                  num_classes=16, stem="k3s2")
+    s2d = ResNet(stage_sizes=[2, 2, 2, 2], block_cls=BasicBlock,
+                 num_classes=16, stem="k3s2_s2d")
+    variables = base.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    a = base.apply(variables, jnp.asarray(x), train=False)
+    b = s2d.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-5)
+
+    # gradient path works too (training with the fast stem)
+    g = jax.grad(lambda v: float(0) + jnp.sum(
+        s2d.apply(v, jnp.asarray(x), train=False)))(variables)
+    k = g["params"]["conv_init"]["kernel"]
+    assert np.isfinite(np.asarray(k)).all() and float(
+        jnp.sum(jnp.abs(k))) > 0
