@@ -161,6 +161,10 @@ class Config:
     # reference trainval.py:364): every N training steps, log the loss
     # terms + step/input-stall timers to log.txt + console.  0 disables.
     log_every_steps: int = 20
+    # run the device preprocessing INSIDE the jitted train/eval step (one
+    # XLA program per step; ~2x faster than separate programs on v5e --
+    # the scoremap dict never makes an HBM round trip between programs)
+    fuse_preprocess: bool = True
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False

@@ -51,7 +51,8 @@ _SWITCH_PERM = [0] + [i + d for i in (1, 5, 9, 13, 17) for d in (3, 2, 1, 0)]
                                    "crop_offset_noise", "scoremap_dropout",
                                    "hue_aug", "full_contract",
                                    "scale_to_size", "scale_target_size",
-                                   "random_crop_to_size", "random_crop_size"))
+                                   "random_crop_to_size", "random_crop_size",
+                                   "pallas_scoremap"))
 def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      use_wrist_coord: bool = True,
                      switch_joint_order: bool = True,
@@ -68,7 +69,8 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
                      scale_to_size: bool = False,
                      scale_target_size: tuple = (240, 320),
                      random_crop_to_size: bool = False,
-                     random_crop_size: int = 256) -> dict:
+                     random_crop_size: int = 256,
+                     pallas_scoremap: str = "off") -> dict:
     """(B, ...) raw inputs -> the reference sample-dict contract, batched.
 
     Returns a dict with the keys consumed at reference trainval.py:276-291
@@ -211,7 +213,21 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
     if calculate_scoremap:
         size = (crop_size, crop_size) if hand_crop else (H, W)
         coords_hw = jnp.stack([kp_uv21[..., 1], kp_uv21[..., 0]], axis=-1)
-        scoremap = render_gaussian_maps(coords_hw, size, sigma, kp_vis21)
+        # measured on v5e (b128, 21x256x256): the Pallas render wins only
+        # in isolation (3.7 vs 15.7 ms when XLA must materialise the
+        # separable factors); inside real programs XLA's fusion wins --
+        # standalone preprocess 9.95 (xla) vs 11.84 ms (pallas), fused
+        # preprocess+forward 11.2 vs 16.7 ms (the pallas_call is a fusion
+        # barrier).  Default 'off'; 'on' / 'auto' (TPU-only) kept for
+        # experimentation on future chips.  Parity kernel-tested to ~5e-6.
+        use_pallas = pallas_scoremap == "on" or (
+            pallas_scoremap == "auto" and jax.default_backend() == "tpu")
+        if use_pallas:
+            from ..ops.pallas_kernels import render_gaussian_maps_pallas
+            scoremap = render_gaussian_maps_pallas(coords_hw, size, sigma,
+                                                   kp_vis21)
+        else:
+            scoremap = render_gaussian_maps(coords_hw, size, sigma, kp_vis21)
         if scoremap_dropout:
             # torch F.dropout(p=0.8) then *0.8 (dataloaderRHD.py:357-361):
             # kept elements end up scaled by p/(1-p) = 4

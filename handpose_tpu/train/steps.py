@@ -101,23 +101,75 @@ def make_train_step(model, cfg: Config):
     return train_step
 
 
+def _eval_metrics(out, batch, cfg: Config):
+    losses = compute_losses(out, batch, cfg)
+    vis = batch["keypoint_vis21"]
+    if cfg.model_name in _TRAINER_B:
+        m = mpjpe(out.can_xyz, batch["kp_coord_xyz21_rel_can"], vis)
+        s, n = masked_sum_count(out.can_xyz,
+                                batch["kp_coord_xyz21_rel_can"], vis)
+    elif cfg.model_name == "TwoDimHandPose":
+        m = mpjpe(out.uv, batch["keypoint_uv21"], vis)
+        s, n = masked_sum_count(out.uv, batch["keypoint_uv21"], vis)
+    else:
+        m = mpjpe(out.xyz, batch["keypoint_xyz21"], vis)
+        s, n = masked_sum_count(out.xyz, batch["keypoint_xyz21"], vis)
+    return {**losses, "mpjpe": m, "mpjpe_sum": s, "mpjpe_count": n}
+
+
 def make_eval_step(model, cfg: Config):
     @jax.jit
     def eval_step(state: TrainState, batch, rng):
         out, _ = _forward(model.apply, state.params, state.batch_stats,
                           batch, cfg, False, rng)
-        losses = compute_losses(out, batch, cfg)
-        vis = batch["keypoint_vis21"]
-        if cfg.model_name in _TRAINER_B:
-            m = mpjpe(out.can_xyz, batch["kp_coord_xyz21_rel_can"], vis)
-            s, n = masked_sum_count(out.can_xyz,
-                                    batch["kp_coord_xyz21_rel_can"], vis)
-        elif cfg.model_name == "TwoDimHandPose":
-            m = mpjpe(out.uv, batch["keypoint_uv21"], vis)
-            s, n = masked_sum_count(out.uv, batch["keypoint_uv21"], vis)
+        return _eval_metrics(out, batch, cfg)
+
+    return eval_step
+
+
+def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
+                          aug_flags: dict | None = None):
+    """Train step that takes a RAW host batch and runs the device
+    preprocessing INSIDE the same XLA program as forward+backward+update.
+
+    Measured on v5e (b128 flagship): preprocess+forward as one program is
+    ~2x faster than as two (the scoremap dict never makes an HBM round
+    trip between programs, and XLA fuses the render into its consumers).
+    The raw->sample geometry gets no gradient (labels + network input),
+    so it adds nothing to the backward pass.
+    """
+    flags = {k: v for k, v in (aug_flags or {}).items() if v}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, raw, rng):
+        aug_rng, fwd_rng = jax.random.split(rng)
+        if flags:
+            batch = preprocess_fn(raw, rng=aug_rng, **pp_kwargs, **flags)
         else:
-            m = mpjpe(out.xyz, batch["keypoint_xyz21"], vis)
-            s, n = masked_sum_count(out.xyz, batch["keypoint_xyz21"], vis)
-        return {**losses, "mpjpe": m, "mpjpe_sum": s, "mpjpe_count": n}
+            batch = preprocess_fn(raw, **pp_kwargs)
+        batch = jax.lax.stop_gradient(batch)
+
+        def loss_fn(params):
+            out, new_bs = _forward(model.apply, params, state.batch_stats,
+                                   batch, cfg, True, fwd_rng)
+            losses = compute_losses(out, batch, cfg)
+            return losses["loss"], (new_bs, losses)
+
+        (loss, (new_bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, losses
+
+    return train_step
+
+
+def make_fused_eval_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict):
+    @jax.jit
+    def eval_step(state: TrainState, raw, rng):
+        batch = preprocess_fn(raw, **pp_kwargs)
+        out, _ = _forward(model.apply, state.params, state.batch_stats,
+                          batch, cfg, False, rng)
+        return _eval_metrics(out, batch, cfg)
 
     return eval_step

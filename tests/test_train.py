@@ -178,3 +178,73 @@ def test_training_reproducible():
         _, m = step(state, batch, jax.random.PRNGKey(6))
         losses.append(float(m["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_fused_step_matches_separate(tmp_path):
+    """Fused (preprocess-inside-jit) train/eval steps == separate
+    preprocess + step on identical raw inputs and rngs."""
+    from handpose_tpu.data.preprocess import preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train.steps import (make_fused_eval_step,
+                                          make_fused_train_step)
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=8, seed=11)
+    ds = RHDDataset(str(root), "evaluation")
+    raw = jax.device_put(ds.raw_batch(list(range(8))))
+
+    cfg = TINY.replace(use_fake_data=False, input_img_shape=(128, 128),
+                       input_channels=3, compute_dtype="float32")
+    model = build_model(cfg)
+    pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
+                     switch_joint_order=cfg.joint_order_switched)
+    batch = preprocess_batch(raw, **pp_kwargs)
+    inp = model_input(batch, cfg.input_channels)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+
+    def mk_state(k):
+        return create_train_state(model, cfg, args, jax.random.PRNGKey(k),
+                                  10)
+
+    rng = jax.random.PRNGKey(3)
+    sep_state, sep_m = make_train_step(model, cfg)(mk_state(0), batch, rng)
+
+    fused = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    # the fused step splits its rng (aug, fwd); replicate that split so
+    # the forward rng matches
+    _, fwd_rng = jax.random.split(rng)
+    sep_state2, sep_m2 = make_train_step(model, cfg)(mk_state(0), batch,
+                                                     fwd_rng)
+    fus_state, fus_m = fused(mk_state(0), raw, rng)
+    np.testing.assert_allclose(float(fus_m["loss"]), float(sep_m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(fus_state.params),
+                    jax.tree.leaves(sep_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ev_sep = make_eval_step(model, cfg)(mk_state(1), batch,
+                                        jax.random.PRNGKey(4))
+    ev_fus = make_fused_eval_step(model, cfg, preprocess_batch, pp_kwargs)(
+        mk_state(1), raw, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(ev_fus["mpjpe"]),
+                               float(ev_sep["mpjpe"]), rtol=1e-5)
+
+
+def test_worker_fused_real_data_train(tmp_path):
+    """End-to-end: Worker with fuse_preprocess trains on an RHD tree."""
+    from handpose_tpu.data.rhd import write_synthetic_rhd
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=16, seed=13)
+    cfg = TINY.replace(use_fake_data=False, dataset_name="RHD",
+                       dataset_root_dir=str(root),
+                       use_val_dataset_to_debug=True, batch_size=8,
+                       input_channels=3, input_img_shape=(64, 64),
+                       save_log_dir=str(tmp_path / "logs"))
+    w = Worker(cfg)
+    assert w.fused
+    val = w.run_epoch(0, "validation")
+    assert np.isfinite(val)
+    w.run_epoch(0, "training")
