@@ -121,28 +121,33 @@ def bench_e2e(cfg, model, variables):
 
 
 def bench_train_step(cfg, model):
-    from handpose_tpu.data.preprocess import model_input
-    from handpose_tpu.data.synthetic import fake_sample_batch
+    """Fused production train step: raw batch -> preprocess + fwd + bwd +
+    Adam update in ONE program (what Worker runs; 13% over the separate
+    step, 27% counting the removed preprocess program)."""
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset
     from handpose_tpu.train.state import create_train_state
-    from handpose_tpu.train.steps import make_train_step
+    from handpose_tpu.train.steps import make_fused_train_step
 
-    batch = fake_sample_batch(BATCH, cfg.crop_size, cfg.input_channels,
-                              seed=0)
+    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+    raw = jax.device_put(ds.raw_batch(list(range(BATCH))))
+    pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
+                     switch_joint_order=cfg.joint_order_switched)
+    batch = jax.tree.map(jnp.asarray, preprocess_batch(raw, **pp_kwargs))
     inp = model_input(batch, cfg.input_channels)
     pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(BATCH, 1, -1)
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
             batch["keypoint_xyz_root"], pose_x0)
     state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
-    step = make_train_step(model, cfg)
-    batch = jax.device_put(batch)
+    step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
     rng = jax.random.PRNGKey(1)
 
-    state, m = step(state, batch, rng)          # compile
+    state, m = step(state, raw, rng)            # compile
     _sync(m["loss"])
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, batch, rng)      # state chains iterations
+        state, m = step(state, raw, rng)        # state chains iterations
     _sync(m["loss"])
     dt = time.perf_counter() - t0
     return BATCH * iters / dt
