@@ -53,6 +53,23 @@ class Evaluator:
         self.cfg = cfg
         self.model = build_model(cfg, is_inference=True)
         self.eval_step = make_eval_step(self.model, cfg)
+        # fused serving path: raw batch -> preprocess + forward + metrics
+        # in ONE program (same numbers as the separate path, parity-tested
+        # in tests/test_train.py; ~2x on the non-step cost)
+        self.fused = cfg.fuse_preprocess and not (
+            cfg.use_fake_data or cfg.dataset_name == "synthetic")
+        if self.fused:
+            from ..data.preprocess import (preprocess_batch,
+                                           preprocess_interhand_batch)
+            from ..train.steps import make_fused_eval_step
+            is_ih = cfg.dataset_name == "InterHand2.6M"
+            self._pp_fn = (preprocess_interhand_batch if is_ih
+                           else preprocess_batch)
+            self._pp_kwargs = dict(
+                crop_size=cfg.crop_size, sigma=cfg.sigma,
+                switch_joint_order=cfg.joint_order_switched)
+            self.fused_eval_step = make_fused_eval_step(
+                self.model, cfg, self._pp_fn, self._pp_kwargs)
         self.visualize_dir = visualize_dir
         if visualize_dir:
             os.makedirs(os.path.join(visualize_dir, "img"), exist_ok=True)
@@ -115,20 +132,33 @@ class Evaluator:
             switch_joint_order=cfg.joint_order_switched,
             prefetch_depth=cfg.prefetch_depth)
 
+    def _raw_batches(self):
+        from ..data.pipeline import raw_device_batches
+        ds = self._dataset()
+        yield from raw_device_batches(
+            ds, self.cfg.infer_batch_size, shuffle=False,
+            drop_remainder=False, depth=max(self.cfg.prefetch_depth, 2))
+
     def evaluate(self, max_batches: Optional[int] = None,
                  visualize_first_n: int = 0) -> float:
         """Whole-epoch visible-joint MPJPE (exact aggregation)."""
         total, count = 0.0, 0.0
         rng = jax.random.PRNGKey(0)
-        for bi, batch in enumerate(self._batches()):
+        batches = self._raw_batches() if self.fused else self._batches()
+        for bi, batch in enumerate(batches):
             if max_batches is not None and bi >= max_batches:
                 break
             rng, srng = jax.random.split(rng)
-            metrics = self.eval_step(self.state, batch, srng)
+            if self.fused:
+                metrics = self.fused_eval_step(self.state, batch, srng)
+            else:
+                metrics = self.eval_step(self.state, batch, srng)
             total += float(metrics["mpjpe_sum"])
             count += float(metrics["mpjpe_count"])
             if self.visualize_dir and bi == 0 and visualize_first_n:
-                self._visualize(batch, srng, visualize_first_n, bi)
+                sample = (self._pp_fn(batch, **self._pp_kwargs)
+                          if self.fused else batch)
+                self._visualize(sample, srng, visualize_first_n, bi)
         return total / count if count else 0.0
 
     def evaluate_full(self, max_batches: Optional[int] = None,
