@@ -165,6 +165,10 @@ class Config:
     # XLA program per step; ~2x faster than separate programs on v5e --
     # the scoremap dict never makes an HBM round trip between programs)
     fuse_preprocess: bool = True
+    # rematerialise the forward in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for not keeping activations in HBM --
+    # enables much larger per-chip batches
+    remat: bool = False
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False

@@ -81,14 +81,29 @@ def compute_losses(out, batch, cfg: Config) -> Dict[str, jnp.ndarray]:
     return {**terms, "loss": total}
 
 
+def _maybe_remat(model, cfg: Config):
+    """Forward closure, optionally rematerialised.
+
+    ``cfg.remat=True`` wraps the model forward in ``jax.checkpoint`` so the
+    backward pass recomputes activations instead of keeping them in HBM --
+    the standard FLOPs-for-memory trade for large-batch training.
+    """
+    def forward(params, batch_stats, batch, rng):
+        return _forward(model.apply, params, batch_stats, batch, cfg, True,
+                        rng)
+
+    return jax.checkpoint(forward) if cfg.remat else forward
+
+
 def make_train_step(model, cfg: Config):
+    forward = _maybe_remat(model, cfg)
+
     # donate the state: params/opt buffers are updated in place on device,
     # halving peak HBM for the update step
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
-            out, new_bs = _forward(model.apply, params, state.batch_stats,
-                                   batch, cfg, True, rng)
+            out, new_bs = forward(params, state.batch_stats, batch, rng)
             losses = compute_losses(out, batch, cfg)
             return losses["loss"], (new_bs, losses)
 
@@ -139,6 +154,7 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
     so it adds nothing to the backward pass.
     """
     flags = {k: v for k, v in (aug_flags or {}).items() if v}
+    forward = _maybe_remat(model, cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, raw, rng):
@@ -150,8 +166,7 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
         batch = jax.lax.stop_gradient(batch)
 
         def loss_fn(params):
-            out, new_bs = _forward(model.apply, params, state.batch_stats,
-                                   batch, cfg, True, fwd_rng)
+            out, new_bs = forward(params, state.batch_stats, batch, fwd_rng)
             losses = compute_losses(out, batch, cfg)
             return losses["loss"], (new_bs, losses)
 

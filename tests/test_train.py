@@ -248,3 +248,27 @@ def test_worker_fused_real_data_train(tmp_path):
     val = w.run_epoch(0, "validation")
     assert np.isfinite(val)
     w.run_epoch(0, "training")
+
+
+def test_remat_step_matches_plain():
+    """remat=True recomputes activations in backward; numerics identical."""
+    cfg = TINY.replace(compute_dtype="float32")
+    model = build_model(cfg)
+    batch = fake_sample_batch(8, 64, 3, seed=0)
+    inp = model_input(batch, 3)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+
+    def run(remat):
+        c = cfg.replace(remat=remat)
+        state = create_train_state(model, c, args, jax.random.PRNGKey(0), 10)
+        step = make_train_step(model, c)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.tree.leaves(state.params)
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    assert l0 == l1
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
