@@ -91,11 +91,16 @@ class Evaluator:
         cfg = self.cfg
         if cfg.dataset_name == "InterHand2.6M":
             from ..data.interhand import InterHandDataset
+            # pad_to="auto": one compiled program across the dataset's
+            # mixed capture resolutions (same fix as the Worker)
             return InterHandDataset(cfg.dataset_root_dir, "val",
                                     cfg.fast_trainval, cfg.trans_test,
-                                    cfg.input_img_shape, cfg.num_workers)
+                                    cfg.input_img_shape, cfg.num_workers,
+                                    pad_to="auto",
+                                    cache_decoded=cfg.cache_decoded)
         return RHDDataset(cfg.dataset_root_dir, "evaluation",
-                          cfg.num_workers)
+                          cfg.num_workers,
+                          cache_decoded=cfg.cache_decoded)
 
     def _first_batch(self):
         cfg = self.cfg
