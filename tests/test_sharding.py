@@ -99,3 +99,16 @@ def test_opt_state_inherits_param_layout():
              if hasattr(a, "sharding") and a.ndim >= 2
              and a.shape[-1] >= 64 and a.shape[-1] % 2 == 0}
     assert any("model" in s for s in specs)
+
+
+def test_graft_dryrun_body_inline():
+    """The driver's multichip check, run inline on the 8-device CPU mesh:
+    fused preprocess+train step sharded dp x tp must compile and execute.
+    Guards the exact code path MULTICHIP_r{N}.json is scored on."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parent.parent))
+    import __graft_entry__ as g
+
+    g._dryrun_body(8)
