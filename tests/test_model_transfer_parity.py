@@ -193,3 +193,111 @@ def test_mano3dhandpose_transfer_parity():
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
                                atol=0.5, rtol=1e-3)
+
+
+def test_flagship_transfer_parity():
+    """Canonical+viewpoint family end-to-end numerics on the flagship
+    (reference Hand3DPosePriorNetwork.py:20-50): twin ResNet-18 backbones
+    + MLP heads + axis-angle rotation assembly."""
+    _ref_config(input_channels=21, keypoint_num=21, is_inference=False,
+                joint_order_switched=True)
+    from network.Hand3DPosePriorNetwork import (
+        Hand3DPosePriorNetwork as TorchM10)
+
+    torch.manual_seed(2)
+    tm = TorchM10(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
+                 compute_dtype="float32", joint_order_switched=True)
+    model = build_model(cfg)
+    rng = np.random.default_rng(2)
+    B, S = 2, 64
+    img = rng.uniform(0, 1, (B, S, S, 21)).astype(np.float32)
+    K = np.tile(np.asarray([[320., 0., S / 2], [0., 320., S / 2],
+                            [0., 0., 1.]], np.float32), (B, 1, 1))
+    scale = np.full((B, 1), 0.8, np.float32)
+    root = np.asarray([[0, 0, 0.6]] * B, np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    def head(tnet):
+        sd = {k: v.numpy() for k, v in
+              tnet.extended_resnet18_extractor.feature_extractor
+              .state_dict().items()}
+        p, s = convert_state_dict(sd, [2, 2, 2, 2], block="basic",
+                                  skip_stem=False)
+        return ({"backbone": {"trunk": p}, "mlp": _seq_to_mlp(tnet.mlp)},
+                {"backbone": {"trunk": s}})
+
+    pp_p, pp_s = head(tm.PosePrior_net)
+    vp_p, vp_s = head(tm.ViewPoint_net)
+    params = {"PosePrior_net": pp_p, "ViewPoint_net": vp_p}
+    stats = {"PosePrior_net": pp_s, "ViewPoint_net": vp_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_rel, t_can, t_rot), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.can_xyz), t_can.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.rot_mat), t_rot.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.coord_xyz_rel_normed),
+                               t_rel.numpy(), atol=3e-3, rtol=1e-3)
+
+
+def test_twodimhandpose_transfer_parity():
+    """uv-family end-to-end numerics (reference TwoDimHandPose.py:16-62).
+
+    The reference crashes on construction from its `config.eypoint_num`
+    typo (TwoDimHandPose.py:30); set the misspelled attribute so the
+    original code executes as intended.
+    """
+    refcfg = _ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=FEAT_DIM)
+    refcfg.eypoint_num = 21
+    from network.TwoDimHandPose import TwoDimHandPose as TorchM1
+
+    torch.manual_seed(3)
+    tm = TorchM1(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="TwoDimHandPose", input_channels=3,
+                 resnet_out_feature_dim=FEAT_DIM, compute_dtype="float32")
+    model = build_model(cfg)
+    img, K, scale, root = _inputs(seed=3)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {"resnet_extractor": ext_p,
+              "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate)}
+    stats = {"resnet_extractor": ext_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (_, t_uv, _), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
+                               atol=0.05, rtol=1e-4)
