@@ -16,8 +16,10 @@ Divergences (documented):
 * no pretrained ImageNet weights are loaded (torchvision is unavailable and
   the environment has no egress); conv1 was retrained from scratch in the
   reference anyway.  He-normal init mirrors torch's default for convs.
-* ResNetMano's ``AvgPool2d(7)`` (which averages only the top-left 7x7 window
-  of the 8x8/10x10 final feature map) is replaced by global mean pooling.
+* ResNetMano reproduces ``AvgPool2d(7)`` exactly for feature maps >= 7x7
+  (stride-7 pooling of an 8x8/10x10 map keeps only the top-left 7x7
+  window); for maps smaller than 7 (inputs < 224px, where torch's
+  AvgPool2d(7) raises) it falls back to a global mean.
 
 Layout: NHWC with channels-last convolutions -- the native layout for TPU
 MXU convolutions.  ``dtype`` controls the compute dtype (bfloat16 on TPU);
@@ -275,5 +277,10 @@ class ResNetMano(nn.Module):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 x = BasicBlock(64 * 2 ** i, strides=strides, conv=conv,
                                norm=norm)(x)
-        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        # Reference avgpool is AvgPool2d(7) (resnetMANO.py:158): stride-7
+        # pooling emits a single output that averages only the top-left 7x7
+        # window of the final map (8x8 for 256px inputs).  Reproduce that
+        # exactly; for maps < 7 (where torch would raise) use the full map.
+        win = min(7, x.shape[1], x.shape[2])
+        x = jnp.mean(x[:, :win, :win, :], axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.fc_dim, name="fc")(x)

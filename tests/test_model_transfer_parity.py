@@ -257,6 +257,134 @@ def test_flagship_transfer_parity():
                                t_rel.numpy(), atol=3e-3, rtol=1e-3)
 
 
+def test_threehandshapeandpose_transfer_parity():
+    """boukhayma-family end-to-end numerics (reference
+    ThreeHandShapeAndPoseMANO.py + resnetMANO.py:138-235), at 256px so the
+    torch ``AvgPool2d(7)`` top-left-window quirk on the 8x8 final map is
+    exercised (resnetMANO.py:158)."""
+    mano_pkl = os.path.join(REF, "config", "mano", "models",
+                            "MANO_RIGHT.pkl")
+    if not os.path.exists(mano_pkl):
+        pytest.skip("MANO asset not available")
+    _ref_config(input_channels=3, keypoint_num=21, mano_pose_num=10,
+                network_regress_uv=False, joint_order_switched=True,
+                mano_right_hand_path=mano_pkl)
+    from network.ThreeHandShapeAndPoseMANO import (
+        ThreeHandShapeAndPoseMANO as TorchM7)
+
+    torch.manual_seed(4)
+    tm = TorchM7(device="cpu", mano_right_hand_path=mano_pkl).eval()
+    _randomize_bn(tm)
+
+    from handpose_tpu.nn.mano import load_mano
+    cfg = Config(model_name="ThreeHandShapeAndPoseMANO", input_channels=3,
+                 compute_dtype="float32", mano_pose_num=10,
+                 network_regress_uv=False, joint_order_switched=True)
+    model = build_model(cfg, mano=load_mano(mano_pkl))
+    img, K, scale, root = _inputs(seed=4, B=2, S=256)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    # the hand-rolled boukhayma net uses torchvision param naming
+    # (layerX.Y.convZ / downsample), so the standard converter ports
+    # layers1-4 + fc; the dual stem (conv1 3ch / conv11 24ch) is mapped by
+    # its torch name -- only the traced stem exists in the flax tree.
+    sd = {k: v.numpy() for k, v in tm.resnet_Mano.state_dict().items()
+          if not k.startswith("mano_layer")}
+    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3], block="basic",
+                                          skip_stem=True)
+    trunk_p["conv1"] = {"kernel": np.transpose(sd["conv1.weight"],
+                                               (2, 3, 1, 0))}
+    trunk_p["bn1"] = {"scale": sd["bn1.weight"], "bias": sd["bn1.bias"]}
+    trunk_s["bn1"] = {"mean": sd["bn1.running_mean"],
+                      "var": sd["bn1.running_var"]}
+    params = {"resnet_Mano": trunk_p}
+    stats = {"resnet_Mano": trunk_s}
+
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_xyz, t_uv, _), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+    assert t_uv is None
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    assert out.uv is None
+    np.testing.assert_allclose(np.asarray(out.xyz), t_xyz.numpy(),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_resnet50mano3dhandpose_transfer_parity():
+    """Resnet50MANO-family end-to-end numerics (reference
+    Resnet50MANO3DHandPose.py + resnet50MANO.py:38-87): torchvision-style
+    ResNet-50 -> sigmoid decay-MLP -> scaled (rot, theta, beta) -> MANO ->
+    pinhole projection."""
+    mano_pkl = os.path.join(REF, "config", "mano", "models",
+                            "MANO_RIGHT.pkl")
+    if not os.path.exists(mano_pkl):
+        pytest.skip("MANO asset not available")
+    _ref_config(input_channels=3, keypoint_num=21, mano_pose_num=10,
+                network_regress_uv=False, joint_order_switched=True,
+                mano_right_hand_path=mano_pkl)
+    from network.Resnet50MANO3DHandPose import (
+        Resnet50MANO3DHandPose as TorchM8)
+
+    torch.manual_seed(5)
+    tm = TorchM8(device="cpu", mano_right_hand_path=mano_pkl).eval()
+    _randomize_bn(tm)
+
+    from handpose_tpu.nn.mano import load_mano
+    cfg = Config(model_name="Resnet50MANO3DHandPose", input_channels=3,
+                 compute_dtype="float32", mano_pose_num=10,
+                 network_regress_uv=False, joint_order_switched=True)
+    model = build_model(cfg, mano=load_mano(mano_pkl))
+    img, K, scale, root = _inputs(seed=5)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    sd = {k: v.numpy() for k, v in tm.mano_model
+          .extended_resnet50_extractor.feature_extractor
+          .state_dict().items()}
+    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3],
+                                          block="bottleneck",
+                                          skip_stem=False)
+    params = {"extended_resnet50_extractor": {"trunk": trunk_p},
+              "mlp": _seq_to_mlp(tm.mano_model.mlp)}
+    stats = {"extended_resnet50_extractor": {"trunk": trunk_s}}
+
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_xyz, t_uv, _), _, (t_theta, t_beta) = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.theta), t_theta.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.beta), t_beta.numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.xyz), t_xyz.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
+                               atol=0.5, rtol=1e-3)
+
+
 def test_twodimhandpose_transfer_parity():
     """uv-family end-to-end numerics (reference TwoDimHandPose.py:16-62).
 
