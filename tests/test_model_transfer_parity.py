@@ -257,6 +257,154 @@ def test_flagship_transfer_parity():
                                t_rel.numpy(), atol=3e-3, rtol=1e-3)
 
 
+def test_twodimhandposewithfk_transfer_parity():
+    """2D-head + FK family (reference TwoDimHandPoseWithFK.py:18-84), with
+    the uv_from_xD=2.5 blend path.  The reference's training-mode return is
+    a 2-tuple (documented bit-rot, TwoDimHandPoseWithFK.py:84)."""
+    _ref_config(input_channels=3, keypoint_num=21, is_inference=False,
+                resnet_out_feature_dim=FEAT_DIM, joint_order_switched=True,
+                other_joint_angles_num=23, bone_length_num=20,
+                uv_from_xD=2.5)
+    from network.TwoDimHandPoseWithFK import TwoDimHandPoseWithFK as TorchM2
+
+    torch.manual_seed(6)
+    tm = TorchM2(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="TwoDimHandPoseWithFK", input_channels=3,
+                 resnet_out_feature_dim=FEAT_DIM, compute_dtype="float32",
+                 joint_order_switched=True, uv_from_xd=2.5)
+    model = build_model(cfg)
+    img, K, scale, root = _inputs(seed=6)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate),
+        "boneAngle": {"mlp1": _seq_to_mlp(tm.boneAngle.mlp1),
+                      "mlp2": _seq_to_mlp(tm.boneAngle.mlp2)},
+        "bonelength": {"mlp1": _seq_to_mlp(tm.bonelength.mlp1)},
+    }
+    stats = {"resnet_extractor": ext_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_xyz, t_uv, _), _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.xyz), t_xyz.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
+                               atol=0.5, rtol=1e-3)
+
+
+def test_onlythreedimhandpose_transfer_parity():
+    """Direct-regression family (reference OnlyThreeDimHandPose.py:16-43):
+    backbone -> 63-d xyz -> pinhole projection, no FK."""
+    _ref_config(input_channels=3, keypoint_num=21,
+                resnet_out_feature_dim=FEAT_DIM)
+    from network.OnlyThreeDimHandPose import OnlyThreeDimHandPose as TorchM4
+
+    torch.manual_seed(7)
+    tm = TorchM4(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 resnet_out_feature_dim=FEAT_DIM, compute_dtype="float32")
+    model = build_model(cfg)
+    img, K, scale, root = _inputs(seed=7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {"resnet_extractor": ext_p,
+              "threeDimPoseEstimate": _seq_to_mlp(tm.threeDimPoseEstimate)}
+    stats = {"resnet_extractor": ext_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_xyz, t_uv, _), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.xyz), t_xyz.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
+                               atol=0.05, rtol=1e-4)
+
+
+def test_hand3dposenet_transfer_parity():
+    """Canonical+viewpoint MLP family (reference Hand3DPoseNet.py:19-53):
+    ResNet features -> Pose3dPrediction + ViewPointPrediction -> axis-angle
+    rotation assembly, training-mode outputs."""
+    _ref_config(input_channels=3, keypoint_num=21, is_inference=False,
+                resnet_out_feature_dim=FEAT_DIM)
+    from network.Hand3DPoseNet import Hand3DPoseNet as TorchM9
+
+    torch.manual_seed(8)
+    tm = TorchM9(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="Hand3DPoseNet", input_channels=3,
+                 resnet_out_feature_dim=FEAT_DIM, compute_dtype="float32")
+    model = build_model(cfg)
+    img, K, scale, root = _inputs(seed=8)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(img), jnp.asarray(K),
+                           jnp.asarray(scale), jnp.asarray(root),
+                           train=False)
+
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "pose_predictor": {"mlp": _seq_to_mlp(tm.pose_predictor.mlp)},
+        "view_point_predictor": {
+            "mlp": _seq_to_mlp(tm.view_point_predictor.mlp),
+            "fc_vp_ux": _lin(tm.view_point_predictor.fc_vp_ux),
+            "fc_vp_uy": _lin(tm.view_point_predictor.fc_vp_uy),
+            "fc_vp_uz": _lin(tm.view_point_predictor.fc_vp_uz)},
+    }
+    stats = {"resnet_extractor": ext_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    with torch.no_grad():
+        (t_rel, t_can, t_rot), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False)
+    np.testing.assert_allclose(np.asarray(out.can_xyz), t_can.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rot_mat), t_rot.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.coord_xyz_rel_normed),
+                               t_rel.numpy(), atol=2e-4, rtol=1e-4)
+
+
 def test_threehandshapeandpose_transfer_parity():
     """boukhayma-family end-to-end numerics (reference
     ThreeHandShapeAndPoseMANO.py + resnetMANO.py:138-235), at 256px so the

@@ -143,6 +143,7 @@ def install():
                           resnet50=resnet50)
         tv.transforms = _stub("torchvision.transforms", Resize=object)
         _stub("torchvision.transforms.functional")
+        tv.datasets = _stub("torchvision.datasets")
     if "chumpy" not in sys.modules:
         chp = _stub("chumpy", Ch=_FakeCh)
         chp.__path__ = []
