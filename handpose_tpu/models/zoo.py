@@ -227,7 +227,7 @@ class DiffusionHandPose(nn.Module):
 
     def __call__(self, img, camera_intrinsic_matrix=None,
                  index_root_bone_length=None, keypoint_xyz_root=None,
-                 pose_x0=None, train: bool = False):
+                 pose_x0=None, train: bool = False, init_noise=None):
         feat = self.resnet_extractor(img, train)
         sample_now = (not train) or self.cfg.diffusion_sample_in_train
 
@@ -239,7 +239,18 @@ class DiffusionHandPose(nn.Module):
         if not sample_now:
             return ModelOutput(diffusion_loss=diffusion_loss)
 
-        coarse = self.diff_model.sample(feat, self.make_rng("diffusion"))
+        if self.is_initializing() and pose_x0 is None:
+            # create the denoiser's params with an eager call: a first call
+            # inside the sampler's lax.scan would leak scan tracers into the
+            # initialized param tree
+            dummy = jnp.zeros((feat.shape[0], 1, self.cfg.keypoint_num * 3))
+            self.diff_model(dummy, feat, self.make_rng("diffusion"))
+
+        # init_noise: optional injected x_T (B, 1, 63) -- with DDIM eta=0
+        # the whole forward is then deterministic (reproducible serving;
+        # whole-model torch-parity testing)
+        coarse = self.diff_model.sample(feat, self.make_rng("diffusion"),
+                                        init_noise=init_noise)
         # every reference sampler is @torch.no_grad (reference
         # conditionalDiffusion.py:649,658,674,713,742), so the in-training
         # DDIM sample must not backprop into the UNet (or the condition

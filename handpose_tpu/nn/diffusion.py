@@ -424,16 +424,22 @@ class GaussianDiffusion1D:
 
     # -- sampling ------------------------------------------------------------
     def ddim_sample(self, denoise_fn, shape, condition, rng,
-                    clip_denoised=True):
+                    clip_denoised=True, init_noise=None):
         """DDIM sampler as a single lax.scan over the static time pairs
-        (conditionalDiffusion.py:674-709)."""
+        (conditionalDiffusion.py:674-709).
+
+        ``init_noise`` optionally injects the initial x_T instead of drawing
+        it from ``rng`` -- with eta=0 the trajectory is then fully
+        deterministic (reproducible serving; torch-parity tests).
+        """
         total, sampling = self.num_timesteps, self.sampling_timesteps
         times = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1]
         pairs = np.stack([times[:-1], times[1:]], axis=1)     # (S, 2)
         s = self.sched
 
         rng, init_rng = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape)
+        img0 = (jax.random.normal(init_rng, shape) if init_noise is None
+                else jnp.asarray(init_noise, jnp.float32).reshape(shape))
         step_rngs = jax.random.split(rng, pairs.shape[0])
 
         def step(img, inp):
@@ -457,10 +463,11 @@ class GaussianDiffusion1D:
         return self.unnormalize(img)
 
     def p_sample_loop(self, denoise_fn, shape, condition, rng,
-                      clip_denoised=True):
+                      clip_denoised=True, init_noise=None):
         """Ancestral DDPM sampler (conditionalDiffusion.py:643-672)."""
         rng, init_rng = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape)
+        img0 = (jax.random.normal(init_rng, shape) if init_noise is None
+                else jnp.asarray(init_noise, jnp.float32).reshape(shape))
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         step_rngs = jax.random.split(rng, self.num_timesteps)
 
@@ -479,10 +486,10 @@ class GaussianDiffusion1D:
         return self.unnormalize(img)
 
     def sample(self, denoise_fn, batch_size, condition, rng,
-               clip_denoised=True):
+               clip_denoised=True, init_noise=None):
         shape = (batch_size, self.seq_length, self.channels)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(denoise_fn, shape, condition, rng, clip_denoised)
+        return fn(denoise_fn, shape, condition, rng, clip_denoised, init_noise)
 
 
 class DiffusionJointEstimation(nn.Module):
@@ -512,7 +519,12 @@ class DiffusionJointEstimation(nn.Module):
         x0 = jnp.swapaxes(x0, 1, 2)               # (B, 63, 1) channels-last
         return self.diffusion.loss(self._denoise, x0, condition, rng)
 
-    def sample(self, condition, rng):
+    def sample(self, condition, rng, init_noise=None):
+        """``init_noise``: optional (B, 1, 63) x_T in the reference's torch
+        layout; with DDIM eta=0 the sample is then deterministic."""
         B = condition.shape[0]
-        out = self.diffusion.sample(self._denoise, B, condition, rng)
+        if init_noise is not None:
+            init_noise = jnp.swapaxes(jnp.asarray(init_noise), 1, 2)
+        out = self.diffusion.sample(self._denoise, B, condition, rng,
+                                    init_noise=init_noise)
         return jnp.swapaxes(out, 1, 2)            # (B, 1, 63)

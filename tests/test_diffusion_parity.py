@@ -69,17 +69,8 @@ def _lin_attn(tres, out, cls_name):
     out[cls_name] = a
 
 
-def test_unet1d_forward_parity():
-    from network.sub_modules.conditionalDiffusion import Unet1D as TorchUnet1D
-
-    torch.manual_seed(0)
-    dim, cond_dim = 32, 48
-    tnet = TorchUnet1D(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
-                       condition_feat_dim=cond_dim).eval()
-
-    fnet = Unet1D(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
-                  condition_feat_dim=cond_dim)
-
+def build_unet_params(tnet):
+    """Map a reference torch Unet1D's weights to our flax Unet1D tree."""
     p = {}
     p["init_conv"] = {"kernel": _conv(tnet.init_conv.weight),
                       "bias": _vec(tnet.init_conv.bias)}
@@ -129,6 +120,21 @@ def test_unet1d_forward_parity():
     _resblock(tnet.final_res_block, p["final_res_block"])
     p["final_conv"] = {"kernel": _conv(tnet.final_conv.weight),
                        "bias": _vec(tnet.final_conv.bias)}
+    return p
+
+
+def test_unet1d_forward_parity():
+    from network.sub_modules.conditionalDiffusion import Unet1D as TorchUnet1D
+
+    torch.manual_seed(0)
+    dim, cond_dim = 32, 48
+    tnet = TorchUnet1D(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
+                       condition_feat_dim=cond_dim).eval()
+
+    fnet = Unet1D(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
+                  condition_feat_dim=cond_dim)
+
+    p = build_unet_params(tnet)
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 1, 63)).astype(np.float32)       # torch layout

@@ -405,6 +405,80 @@ def test_hand3dposenet_transfer_parity():
                                t_rel.numpy(), atol=2e-4, rtol=1e-4)
 
 
+def test_diffusionhandpose_transfer_parity():
+    """Diffusion family end-to-end numerics (reference DiffusionHandPose.py
+    :19-52): condition extractor -> DDIM sampling -> bone heads -> FK.
+
+    DDIM with eta=0 (conditionalDiffusion.py:495) is deterministic given
+    the initial x_T, which the reference draws as its first RNG use inside
+    the forward (ddim_sample:683) -- capture it by seed replay and inject
+    the same x_T into our sampler (``init_noise``), making the whole
+    forward comparable despite the stochastic sampler.  T=20/10 keeps the
+    DDIM branch (sampling < T) while bounding accumulated float drift."""
+    _ref_config(input_channels=3, keypoint_num=21, is_inference=False,
+                resnet_out_feature_dim=FEAT_DIM, condition_feat_dim=64,
+                joint_order_switched=True, other_joint_angles_num=23,
+                bone_length_num=20, num_timesteps=20,
+                num_sampling_timesteps=10, batch_size=2)
+    from network.DiffusionHandPose import DiffusionHandPose as TorchM5
+
+    torch.manual_seed(9)
+    tm = TorchM5(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="DiffusionHandPose", input_channels=3,
+                 resnet_out_feature_dim=FEAT_DIM, condition_feat_dim=64,
+                 compute_dtype="float32", joint_order_switched=True,
+                 num_timesteps=20, num_sampling_timesteps=10)
+    model = build_model(cfg)
+    img, K, scale, root = _inputs(seed=9)
+    B = img.shape[0]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+        jnp.asarray(root), train=False)
+
+    from test_diffusion_parity import build_unet_params
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "diff_model": {"unet": build_unet_params(
+            tm.diff_model.Unet1D_Model)},
+        "bone_angle_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_angle_pred_model.mlp1),
+            "mlp2": _seq_to_mlp(tm.bone_angle_pred_model.mlp2)},
+        "bone_length_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_length_pred_model.mlp1)},
+    }
+    stats = {"resnet_extractor": ext_s}
+    ours = jax.tree_util.tree_structure(
+        jax.tree.map(np.asarray, variables["params"]))
+    theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+    assert ours == theirs
+
+    # capture the x_T the reference will draw: its forward's first RNG use
+    torch.manual_seed(123)
+    x_T = torch.randn(B, 1, 63).numpy()
+    pose_x0 = np.random.default_rng(9).uniform(
+        0, 1, (B, 1, 63)).astype(np.float32)
+    torch.manual_seed(123)
+    with torch.no_grad():
+        (t_xyz, t_uv, _), _, _ = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)), torch.tensor(K),
+            torch.tensor(scale), torch.tensor(root),
+            torch.tensor(pose_x0))
+
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
+                      jnp.asarray(root), train=False,
+                      init_noise=jnp.asarray(x_T),
+                      rngs={"diffusion": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(out.xyz), t_xyz.numpy(),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.uv), t_uv.numpy(),
+                               atol=1.0, rtol=1e-3)
+
+
 def test_threehandshapeandpose_transfer_parity():
     """boukhayma-family end-to-end numerics (reference
     ThreeHandShapeAndPoseMANO.py + resnetMANO.py:138-235), at 256px so the
