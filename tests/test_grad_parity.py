@@ -195,6 +195,159 @@ def test_threedimhandpose_grad_and_adam_parity():
     assert jlosses[-1] < jlosses[0]          # optimization makes progress
 
 
+def test_flagship_grad_parity():
+    """Trainer-B training numerics on the flagship (reference
+    Hand3DPosePriorNetwork.py + loss trainval_hand3DPose.py:284-288):
+    gradient tree through twin ResNet-18 backbones, MLP heads, axis-angle
+    rotation assembly, masked xyz L2 + rot-matrix MSE."""
+    _ref_config(input_channels=21, keypoint_num=21, is_inference=False,
+                joint_order_switched=True)
+    from network.Hand3DPosePriorNetwork import (
+        Hand3DPosePriorNetwork as TorchM10)
+
+    torch.manual_seed(12)
+    tm = TorchM10(device="cpu").eval()
+    _randomize_bn(tm)
+
+    cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
+                 compute_dtype="float32", joint_order_switched=True)
+    model = build_model(cfg)
+    rng = np.random.default_rng(12)
+    B, S = 2, 64
+    img = rng.uniform(0, 1, (B, S, S, 21)).astype(np.float32)
+    K = np.tile(np.asarray([[320., 0., S / 2], [0., 320., S / 2],
+                            [0., 0., 1.]], np.float32), (B, 1, 1))
+    scale = np.full((B, 1), 0.8, np.float32)
+    root = np.asarray([[0, 0, 0.6]] * B, np.float32)
+    rel_gt = rng.normal(scale=0.3, size=(B, 21, 3)).astype(np.float32)
+    q = np.linalg.qr(rng.normal(size=(B, 3, 3)))[0].astype(np.float32)
+    _, _, vis = _gt(12)
+
+    def head_params(tnet):
+        sd = {k: v.numpy() for k, v in
+              tnet.extended_resnet18_extractor.feature_extractor
+              .state_dict().items()}
+        p, s = convert_state_dict(sd, [2, 2, 2, 2], block="basic",
+                                  skip_stem=False)
+        return ({"backbone": {"trunk": p}, "mlp": _seq_to_mlp(tnet.mlp)},
+                {"backbone": {"trunk": s}})
+
+    def head_grads(tnet):
+        fe = tnet.extended_resnet18_extractor.feature_extractor
+        sd = {k: (p.grad if p.grad is not None
+                  else torch.zeros_like(p)).numpy()
+              for k, p in fe.named_parameters()}
+        for k, v in fe.state_dict().items():
+            if "running" in k:
+                sd[k] = np.zeros_like(v.numpy())
+        g, _ = convert_state_dict(sd, [2, 2, 2, 2], block="basic",
+                                  skip_stem=False)
+        return {"backbone": {"trunk": g}, "mlp": _grad_mlp(tnet.mlp)}
+
+    pp_p, pp_s = head_params(tm.PosePrior_net)
+    vp_p, vp_s = head_params(tm.ViewPoint_net)
+    params = {"PosePrior_net": pp_p, "ViewPoint_net": vp_p}
+    stats = {"PosePrior_net": pp_s, "ViewPoint_net": vp_s}
+
+    tm.zero_grad()
+    (t_rel, _, t_rot), _, _ = tm(torch.tensor(img.transpose(0, 3, 1, 2)),
+                                 torch.tensor(K), torch.tensor(scale),
+                                 torch.tensor(root))
+    tloss = (_torch_masked_l2(t_rel, torch.tensor(rel_gt), vis) +
+             torch.nn.functional.mse_loss(t_rot, torch.tensor(q)))
+    tloss.backward()
+    tgrads = {"PosePrior_net": head_grads(tm.PosePrior_net),
+              "ViewPoint_net": head_grads(tm.ViewPoint_net)}
+
+    from handpose_tpu.losses import rot_mat_mse
+    jvis = jnp.asarray(vis)
+
+    def loss_fn(p):
+        out = model.apply({"params": p, "batch_stats": stats},
+                          jnp.asarray(img), jnp.asarray(K),
+                          jnp.asarray(scale), jnp.asarray(root), train=False)
+        return (masked_l2_loss(out.coord_xyz_rel_normed,
+                               jnp.asarray(rel_gt), jvis) +
+                rot_mat_mse(out.rot_mat, jnp.asarray(q)))
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(
+        jax.tree.map(jnp.asarray, params))
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=1e-5, atol=1e-6)
+    _assert_tree_close(jgrads, tgrads, rtol=2e-3, atol=2e-5)
+
+
+def test_unet1d_grad_parity():
+    """Diffusion-denoiser training backward: d(MSE)/d(params) for the full
+    Unet1D (conv1d blocks, linear+full attention, RMS norms, time+condition
+    embeddings) matches torch autograd -- no RNG involved, so this pins the
+    p_losses backward path (reference conditionalDiffusion.py:733-798)."""
+    from network.sub_modules.conditionalDiffusion import Unet1D as TorchUnet
+    from test_diffusion_parity import build_unet_params
+    from handpose_tpu.nn.diffusion import Unet1D
+
+    torch.manual_seed(13)
+    dim, cond_dim = 32, 48
+    tnet = TorchUnet(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
+                     condition_feat_dim=cond_dim).eval()
+    fnet = Unet1D(dim=dim, dim_mults=(1, 2, 4, 8), channels=1,
+                  condition_feat_dim=cond_dim)
+    params = build_unet_params(tnet)
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(2, 1, 63)).astype(np.float32)
+    t = np.array([3, 15], np.int64)
+    cond = rng.normal(size=(2, cond_dim)).astype(np.float32)
+    target = rng.normal(size=(2, 1, 63)).astype(np.float32)
+
+    tnet.zero_grad()
+    tout = tnet(torch.tensor(x), torch.tensor(t),
+                condition=torch.tensor(cond))
+    tloss = torch.nn.functional.mse_loss(tout, torch.tensor(target))
+    tloss.backward()
+
+    def loss_fn(p):
+        out = fnet.apply({"params": p}, jnp.asarray(x.transpose(0, 2, 1)),
+                         jnp.asarray(t), jnp.asarray(cond))
+        return jnp.mean((jnp.swapaxes(out, 1, 2)
+                         - jnp.asarray(target)) ** 2)
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(
+        jax.tree.map(jnp.asarray, params))
+    # f32 accumulation-order noise through the deep UNet puts the loss
+    # just past 1e-5 relative; 5e-5 still pins the numerics.
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()),
+                               rtol=5e-5, atol=1e-6)
+
+    # compare grads on a representative subset spanning every block type
+    checks = [
+        (("init_conv", "kernel"),
+         lambda: tnet.init_conv.weight.grad.numpy().transpose(2, 1, 0)),
+        (("time_mlp_1", "kernel"),
+         lambda: tnet.time_mlp[1].weight.grad.numpy().T),
+        (("cond_mlp_2", "kernel"),
+         lambda: tnet.condition_feat_mlp[2].weight.grad.numpy().T),
+        (("down_0_block1", "block1", "proj", "kernel"),
+         lambda: tnet.downs[0][0].block1.proj.weight.grad
+         .numpy().transpose(2, 1, 0)),
+        (("mid_attn", "attn", "to_qkv", "kernel"),
+         lambda: tnet.mid_attn.fn.fn.to_qkv.weight.grad
+         .numpy().transpose(2, 1, 0)),
+        (("up_2_attn", "attn", "to_out", "kernel"),
+         lambda: tnet.ups[2][2].fn.fn.to_out[0].weight.grad
+         .numpy().transpose(2, 1, 0)),
+        (("final_conv", "kernel"),
+         lambda: tnet.final_conv.weight.grad.numpy().transpose(2, 1, 0)),
+    ]
+    for path, tgrad in checks:
+        leaf = jgrads
+        for k in path:
+            leaf = leaf[k]
+        np.testing.assert_allclose(np.asarray(leaf), tgrad(),
+                                   rtol=2e-3, atol=2e-5,
+                                   err_msg="/".join(path))
+
+
 def test_mano3dhandpose_grad_parity():
     """MANO-family training numerics: full gradient tree through theta/beta
     heads + Rodrigues + LBS (reference MANO3DHandPose.py)."""
