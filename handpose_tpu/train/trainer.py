@@ -29,6 +29,7 @@ from ..models import build_model
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.logging import RunLogger, StepStats, make_run_dir
 from .checkpoints import filtered_resume, save_checkpoint
+from .preemption import PreemptionGuard
 from .state import create_train_state
 from .steps import (make_eval_step, make_fused_eval_step,
                     make_fused_train_step, make_train_step)
@@ -139,6 +140,7 @@ class Worker:
         self.start_epoch = 0
         self.best_mpjpe = float(np.inf)
         self.rng = jax.random.PRNGKey(cfg.seed + 17)
+        self.preempt: Optional[PreemptionGuard] = None
 
         if cfg.resume_weight_path:
             self.state, self.start_epoch, self.best_mpjpe, finetune = \
@@ -148,6 +150,18 @@ class Worker:
                              f"start_epoch={self.start_epoch}")
 
     # ------------------------------------------------------------------
+    def enable_preemption_save(self, guard: Optional[PreemptionGuard] = None
+                               ) -> PreemptionGuard:
+        """Arm preemption-safe training (see train/preemption.py).
+
+        On SIGTERM (or ``guard``'s signals) the epoch loop stops at the
+        next step boundary, ``run()`` writes a resumable ``checkpoint``
+        pinned to the *interrupted* epoch, and returns.  Resuming from it
+        restarts that epoch.
+        """
+        self.preempt = (guard or PreemptionGuard()).install()
+        return self.preempt
+
     def _sample_batch(self, seed=0) -> dict:
         if self.train_ds is None:
             return fake_sample_batch(min(self.cfg.batch_size, 8),
@@ -221,6 +235,11 @@ class Worker:
             self.stats.input.toc()
             if fast_debug and idx > 2:
                 break
+            if self.preempt is not None and self.preempt.requested:
+                self.logger.text(
+                    f"preemption requested: stopping {split} at epoch "
+                    f"{epoch} iter {idx}")
+                break
             batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.stats.step.tic()
@@ -289,6 +308,15 @@ class Worker:
                 self.run_epoch(epoch, "validation", fast_debug)
                 continue
             self.run_epoch(epoch, "training", fast_debug)
+            if self.preempt is not None and self.preempt.requested:
+                # save resumable state pinned to the INTERRUPTED epoch
+                # (it ran partially; resume restarts it), then exit clean
+                save_checkpoint(os.path.abspath(self.run_dir), self.state,
+                                epoch, self.best_mpjpe, is_best=False)
+                self.logger.text(
+                    f"preemption checkpoint written at epoch {epoch}; "
+                    f"resume with --resume {self.run_dir}/checkpoint")
+                return self.best_mpjpe
             val = self.run_epoch(epoch, "validation", fast_debug)
             is_best = val is not None and val < self.best_mpjpe
             if is_best:

@@ -272,3 +272,50 @@ def test_remat_step_matches_plain():
     assert l0 == l1
     for a, b in zip(p0, p1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """Preemption-safe training (SURVEY.md §5: the reference has no
+    failure/recovery mechanism): a SIGTERM-style signal stops the loop at
+    the next step boundary, run() writes a checkpoint pinned to the
+    INTERRUPTED epoch, and resuming restarts that epoch with the exact
+    post-preemption parameters."""
+    import signal
+
+    from handpose_tpu.train import PreemptionGuard
+
+    cfg = TINY.replace(save_log_dir=str(tmp_path), max_epoch=5)
+    w = Worker(cfg)
+    guard = w.enable_preemption_save(
+        PreemptionGuard(signals=(signal.SIGUSR1,)))
+    try:
+        # deliver the signal from inside step 12 (2 steps into epoch 1,
+        # at 10 fake-data steps/epoch): the NEXT iteration boundary must
+        # notice it
+        counter = {"n": 0}
+        orig = w.train_step
+
+        def counting_step(state, batch, rng):
+            counter["n"] += 1
+            if counter["n"] == 12:
+                os.kill(os.getpid(), signal.SIGUSR1)
+            return orig(state, batch, rng)
+
+        w.train_step = counting_step
+        w.run()
+
+        assert guard.requested
+        assert counter["n"] == 12          # boundary check fires before 13
+        ckpt = os.path.join(w.run_dir, "checkpoint")
+        assert os.path.isdir(ckpt)
+
+        # resume restarts the interrupted epoch with the preempted params
+        # (NOT epoch 0's end-of-epoch save, which the preemption save
+        # must have overwritten)
+        w2 = Worker(cfg.replace(resume_weight_path=ckpt))
+        assert w2.start_epoch == 1
+        for a, b in zip(jax.tree.leaves(w.state.params),
+                        jax.tree.leaves(w2.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        guard.uninstall()

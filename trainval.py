@@ -94,6 +94,9 @@ def main():
     )
     cfg = apply_overrides(cfg, args.overrides)
     worker = Worker(cfg)
+    # SIGTERM (fleet preemption) -> checkpoint at the next step boundary
+    # and exit cleanly; resume restarts the interrupted epoch
+    worker.enable_preemption_save()
     best = worker.run(fast_debug=args.fast_debug)
     print(f"best val MPJPE: {best:.5f}")
 
