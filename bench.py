@@ -39,7 +39,11 @@ PEAK_BF16_FLOPS = 197e12      # TPU v5e MXU peak (bf16); MFU is vs this
 
 BENCH_DATA = os.environ.get("HPT_BENCH_DATA", "/tmp/hpt_bench_rhd")
 N_SAMPLES = 512
-BATCH = 128
+# b256 from the tools/bench_sweep.py batch sweep on v5e: fused
+# preprocess+forward 12.1k img/s @ b128 -> 13.0k @ b256 -> 13.2k @ b512
+# (MFU 0.56 -> 0.60 -> 0.61); train step flat within 5%.  256 takes most
+# of the win without b512's memory/compile cost.
+BATCH = 256
 
 
 def _sync(x) -> float:

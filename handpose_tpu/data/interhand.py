@@ -250,13 +250,10 @@ class InterHandDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_remainder: bool = True) -> Iterator[InterHandRawBatch]:
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        n = len(order)
-        end = n - (n % batch_size) if drop_remainder else n
-        for s in range(0, end, batch_size):
-            yield self.raw_batch(list(order[s:s + batch_size]))
+        from .pipeline import epoch_index_chunks
+        for idx in epoch_index_chunks(len(self), batch_size, shuffle, seed,
+                                      drop_remainder):
+            yield self.raw_batch(idx)
 
 
 def write_synthetic_interhand(root_dir: str, set_type: str = "val",

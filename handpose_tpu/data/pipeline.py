@@ -26,6 +26,21 @@ from .preprocess import (InterHandRawBatch, RawBatch, preprocess_batch,
 _SENTINEL = object()
 
 
+def epoch_index_chunks(n: int, batch_size: int, shuffle: bool = False,
+                       seed: int = 0, drop_remainder: bool = True):
+    """Deterministic epoch order chunked into batch index lists.
+
+    The single source of truth for shuffle-seed and remainder semantics,
+    shared by the dataset ``.batches()`` iterators and
+    ``raw_device_batches`` so they can never diverge.
+    """
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    end = n - (n % batch_size) if drop_remainder else n
+    return [list(order[s:s + batch_size]) for s in range(0, end, batch_size)]
+
+
 def _producer(it, q, stop):
     try:
         for item in it:
@@ -117,14 +132,8 @@ def raw_device_batches(dataset, batch_size: int, *, shuffle: bool = False,
     memmap cache (concurrent 50MB numpy collates thrash the GIL against
     the consumer's transfer); raise it only for decode-bound sources.
     """
-    order = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(order)
-    n = len(order)
-    end = n - (n % batch_size) if drop_remainder else n
-    chunks = [list(order[s:s + batch_size])
-              for s in range(0, end, batch_size)
-              if not (drop_remainder and s + batch_size > end)]
+    chunks = epoch_index_chunks(len(dataset), batch_size, shuffle, seed,
+                                drop_remainder)
 
     for raw in prefetch_map(dataset.raw_batch, chunks, depth=depth,
                             workers=workers):

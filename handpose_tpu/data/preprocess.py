@@ -264,6 +264,10 @@ def preprocess_batch(raw: RawBatch, crop_size: int = 256, sigma: float = 25.0,
         # one random crop applied consistently to image + hand_parts +
         # hand_mask, keypoints untouched (so was the sketch).
         S = random_crop_size
+        if S > H or S > W:
+            raise ValueError(
+                f"random_crop_size {S} exceeds the image extent "
+                f"({H}x{W}); crops must fit inside the source image")
         oy = jax.random.randint(rngs[6], (B,), 0, H - S + 1)
         ox = jax.random.randint(jax.random.fold_in(rngs[6], 1), (B,), 0,
                                 W - S + 1)

@@ -142,16 +142,10 @@ class RHDDataset:
                 seed: int = 0, drop_remainder: bool = True
                 ) -> Iterator[RawBatch]:
         """Epoch iterator of raw host batches (fixed batch shape)."""
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        n = len(order)
-        end = n - (n % batch_size) if drop_remainder else n
-        for s in range(0, end, batch_size):
-            idx = order[s:s + batch_size]
-            if len(idx) < batch_size and drop_remainder:
-                break
-            yield self.raw_batch(list(idx))
+        from .pipeline import epoch_index_chunks
+        for idx in epoch_index_chunks(len(self), batch_size, shuffle, seed,
+                                      drop_remainder):
+            yield self.raw_batch(idx)
 
 
 def write_synthetic_rhd(root_dir: str, set_type: str = "evaluation",

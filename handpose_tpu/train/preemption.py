@@ -66,7 +66,10 @@ class PreemptionGuard:
     def uninstall(self) -> None:
         if self._installed:
             for sig in self.signals:
-                signal.signal(sig, self._previous.get(sig, signal.SIG_DFL))
+                prev = self._previous.get(sig, signal.SIG_DFL)
+                # getsignal() returns None for handlers not installed from
+                # Python (C extensions / embedders); signal() rejects None
+                signal.signal(sig, signal.SIG_DFL if prev is None else prev)
             self._previous.clear()
             self._installed = False
 

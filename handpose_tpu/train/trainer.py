@@ -281,7 +281,11 @@ class Worker:
         self.stats.input.toc()
 
         means = {k: v / max(n, 1) for k, v in losses_acc.items()}
-        epoch_mpjpe = (mpjpe_sum / mpjpe_count if mpjpe_count else 0.0) \
+        # a validation pass that saw no visible keypoints (empty dataset or
+        # preemption before the first batch) yields NO metric -- 0.0 here
+        # would masquerade as a perfect MPJPE and poison best-checkpoint
+        # selection
+        epoch_mpjpe = (mpjpe_sum / mpjpe_count if mpjpe_count else None) \
             if not is_train else None
         tag = "Training" if is_train else "Validation"
         info = f"{tag} Epoch: {epoch:03d}, " + ", ".join(
@@ -305,22 +309,31 @@ class Worker:
                 from ..utils.device_info import profile_trace
                 with profile_trace(os.path.join(self.run_dir, "profile")):
                     self.run_epoch(epoch, "training", fast_debug)
-                self.run_epoch(epoch, "validation", fast_debug)
-                continue
-            self.run_epoch(epoch, "training", fast_debug)
+            else:
+                self.run_epoch(epoch, "training", fast_debug)
             if self.preempt is not None and self.preempt.requested:
                 # save resumable state pinned to the INTERRUPTED epoch
                 # (it ran partially; resume restarts it), then exit clean
-                save_checkpoint(os.path.abspath(self.run_dir), self.state,
-                                epoch, self.best_mpjpe, is_best=False)
-                self.logger.text(
-                    f"preemption checkpoint written at epoch {epoch}; "
-                    f"resume with --resume {self.run_dir}/checkpoint")
+                self._save_preemption_checkpoint(epoch)
                 return self.best_mpjpe
             val = self.run_epoch(epoch, "validation", fast_debug)
+            if self.preempt is not None and self.preempt.requested:
+                # training for this epoch completed but validation was cut
+                # short: the partial `val` is biased, so do NOT touch
+                # best/checkpoint_best; resume continues at the next epoch
+                self._save_preemption_checkpoint(epoch + 1)
+                return self.best_mpjpe
             is_best = val is not None and val < self.best_mpjpe
             if is_best:
                 self.best_mpjpe = val
             save_checkpoint(os.path.abspath(self.run_dir), self.state,
                             epoch + 1, self.best_mpjpe, is_best)
         return self.best_mpjpe
+
+    def _save_preemption_checkpoint(self, start_epoch: int) -> None:
+        save_checkpoint(os.path.abspath(self.run_dir), self.state,
+                        start_epoch, self.best_mpjpe, is_best=False)
+        self.logger.text(
+            f"preemption checkpoint written (resumes at epoch "
+            f"{start_epoch}); resume with --resume "
+            f"{self.run_dir}/checkpoint")

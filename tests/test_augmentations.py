@@ -147,3 +147,12 @@ def test_worker_rejects_terminal_transforms(tmp_path):
                  scale_to_size=True)
     with pytest.raises(ValueError, match="scale_to_size"):
         Worker(cfg)
+
+
+def test_random_crop_to_size_rejects_oversize(raw):
+    """A crop larger than the source image must fail with a clear error,
+    not an opaque dynamic_slice shape failure."""
+    import pytest
+    with pytest.raises(ValueError, match="exceeds the image extent"):
+        preprocess_batch(raw, rng=jax.random.PRNGKey(0),
+                         random_crop_to_size=True, random_crop_size=10_000)

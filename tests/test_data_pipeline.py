@@ -187,3 +187,35 @@ def test_raw_device_batches_early_abandon(mini_rhd):
         gen.close()
     # dataset keeps its own decode pool; only transient map workers vary
     assert threading.active_count() <= before + 4
+
+
+def test_epoch_index_chunks_semantics():
+    """The single shared chunking helper (datasets + raw_device_batches):
+    deterministic shuffle by seed, full-batch drop-remainder, exact
+    coverage without it."""
+    from handpose_tpu.data.pipeline import epoch_index_chunks
+
+    c = epoch_index_chunks(10, 4, shuffle=True, seed=3)
+    assert [len(x) for x in c] == [4, 4]
+    assert c == epoch_index_chunks(10, 4, shuffle=True, seed=3)
+    assert c != epoch_index_chunks(10, 4, shuffle=True, seed=4)
+    c2 = epoch_index_chunks(10, 4, shuffle=True, seed=3,
+                            drop_remainder=False)
+    assert [len(x) for x in c2] == [4, 4, 2]
+    assert sorted(sum(c2, [])) == list(range(10))
+
+
+def test_raw_device_batches_matches_direct_shuffled(mini_rhd):
+    """Shuffle-seed semantics agree between the dataset iterator and the
+    threaded raw pipeline (they share epoch_index_chunks)."""
+    from handpose_tpu.data.pipeline import raw_device_batches
+    from handpose_tpu.data.rhd import RHDDataset
+
+    ds = RHDDataset(mini_rhd, "evaluation")
+    direct = list(ds.batches(4, shuffle=True, seed=11))
+    threaded = list(raw_device_batches(ds, 4, shuffle=True, seed=11,
+                                       workers=2, depth=2))
+    assert len(direct) == len(threaded)
+    for a, b in zip(direct, threaded):
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))

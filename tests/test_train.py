@@ -319,3 +319,58 @@ def test_preemption_checkpoint_and_resume(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         guard.uninstall()
+
+    # --- preemption DURING VALIDATION must not poison best_mpjpe ---
+    # (a partial validation MPJPE is biased; 0 batches would read as 0.0
+    # == "perfect" and freeze checkpoint_best forever)
+    g2 = w2.enable_preemption_save(
+        PreemptionGuard(signals=(signal.SIGUSR2,)))
+    try:
+        best_before = w2.best_mpjpe
+        assert np.isfinite(best_before)
+        orig_eval = w2.eval_step
+
+        def requesting_eval(state, batch, rng):
+            g2.request()               # cooperative trigger, same flag
+            return orig_eval(state, batch, rng)
+
+        w2.eval_step = requesting_eval
+        ret = w2.run()
+        assert ret == best_before      # partial validation ignored
+        from handpose_tpu.train import load_raw
+        saved = load_raw(os.path.join(w2.run_dir, "checkpoint"))
+        # training for the epoch completed -> resume continues AFTER it
+        assert int(saved["epoch"]) == w2.start_epoch + 1
+        assert float(saved["best_mpjpe"]) == np.float32(best_before)
+    finally:
+        g2.uninstall()
+
+
+def test_preemption_guard_restores_non_python_handler():
+    """uninstall() must not raise when the pre-existing handler was not
+    installed from Python (signal.getsignal returns None for handlers set
+    by C extensions/embedders)."""
+    import signal
+
+    from handpose_tpu.train import PreemptionGuard
+
+    g = PreemptionGuard(signals=(signal.SIGUSR1,))
+    g.install()
+    g._previous[signal.SIGUSR1] = None    # as if set by a C embedder
+    g.uninstall()                         # must not raise
+    assert signal.getsignal(signal.SIGUSR1) == signal.SIG_DFL
+
+
+def test_validation_with_no_batches_yields_no_metric(tmp_path):
+    """run_epoch('validation') that sees zero batches returns None, not a
+    fake-perfect 0.0 MPJPE."""
+    import types
+
+    cfg = TINY.replace(save_log_dir=str(tmp_path))
+    w = Worker(cfg)
+
+    def empty(self, split, seed):
+        return iter(())
+
+    w._epoch_batches = types.MethodType(empty, w)
+    assert w.run_epoch(0, "validation") is None
