@@ -16,7 +16,7 @@ framework amortises decode once into a uint8 memmap cache).
 
 Extra keys in the same JSON object:
   resident_synth_img_per_sec  device-resident repeat batch (round-1 metric)
-  train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), b128
+  train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), bBATCH
   diffusion_ddim_p50_ms       200-step DDIM sample loop, B=8, p50 latency
   mfu_forward / mfu_train     XLA-counted flops / (time * peak bf16 flops)
 
@@ -222,7 +222,7 @@ def main():
         "vs_baseline": round(resident / BASELINE_IMG_PER_SEC, 2),
         "baseline_note": "ref ~26.5 img/s (input-bound, incl. disk+decode "
                          "on its A100 node); ours is the fused on-chip "
-                         "preprocess+forward program at b128",
+                         f"preprocess+forward program at b{BATCH}",
         "e2e_host_to_infer_img_per_sec": round(e2e, 1),
         "e2e_note": "fresh batches: memmap read + H2D + preprocess + "
                     "forward; transfer-bound through the axon tunnel "
@@ -230,7 +230,7 @@ def main():
                     "PCIe-attached v5e host this path is compute-bound",
         "train_step_img_per_sec": round(train_img_s, 1),
         "train_note": "fused production step: raw batch -> preprocess + "
-                      "fwd + bwd + Adam in one program, b128 bf16",
+                      f"fwd + bwd + Adam in one program, b{BATCH} bf16",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
         "mfu_forward": round(mfu_fwd, 4),
         "mfu_train_est": round(mfu_train, 4),
