@@ -42,10 +42,33 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place every array in a pytree batch-sharded over the data axis."""
+    """Place every array in a pytree batch-sharded over the data axis.
+
+    Multi-host: each process passes its LOCAL shard of the global batch
+    (from ``HostShardSampler``) and gets back one global jax.Array per
+    leaf; single-host this is a plain sharded device_put.
+    """
+    if jax.process_count() > 1:
+        return global_shard_batch(batch, mesh)
     def put(a):
         return jax.device_put(a, NamedSharding(
             mesh, P("data", *([None] * (a.ndim - 1)))))
+    return jax.tree.map(put, batch)
+
+
+def global_shard_batch(batch, mesh: Mesh):
+    """Assemble per-process local batch shards into global arrays.
+
+    The multi-host analogue of :func:`shard_batch`
+    (``jax.make_array_from_process_local_data`` over the 'data' axis) --
+    the jitted step then runs one global SPMD program, so loss/metric
+    reductions come back replicated and already globally aggregated.
+    Single-process it produces exactly ``shard_batch``'s layout (tested).
+    """
+    def put(a):
+        a = np.asarray(a)
+        sh = NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+        return jax.make_array_from_process_local_data(sh, a)
     return jax.tree.map(put, batch)
 
 

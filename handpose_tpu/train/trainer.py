@@ -188,6 +188,13 @@ class Worker:
         is_train = split == "training"
         shuffle = is_train and cfg.shuffle \
             and not cfg.use_val_dataset_to_debug
+        if jax.process_count() > 1:
+            # multi-host: every host loads only ITS shard of each global
+            # batch; run_epoch's shard_batch assembles the shards into
+            # global arrays (parallel.mesh.global_shard_batch)
+            yield from self._multihost_epoch_batches(ds, is_train, shuffle,
+                                                     seed)
+            return
         if self.fused:
             # raw device batches only; preprocessing happens inside the
             # fused step programs
@@ -222,6 +229,44 @@ class Worker:
             switch_joint_order=cfg.joint_order_switched,
             prefetch_depth=0,
             aug_rng=aug_rng, aug_flags=aug_flags)
+
+    def _multihost_epoch_batches(self, ds, is_train: bool, shuffle: bool,
+                                 epoch: int, sampler=None):
+        """Per-host local batches for multi-host training.
+
+        Each host reads its deterministic contiguous shard of the
+        epoch-seeded global permutation (``HostShardSampler``, the
+        DistributedSampler analogue); the fused path yields raw host
+        batches, the unfused path preprocessed device dicts -- in both
+        cases run_epoch's ``shard_batch`` turns the local shard into
+        global arrays.  ``sampler`` is injectable for testing host ranks
+        without multiple processes.
+        """
+        from ..data.pipeline import device_batches, prefetch_map
+        from ..parallel.distributed import HostShardSampler
+
+        cfg = self.cfg
+        if sampler is None:
+            sampler = HostShardSampler(len(ds), cfg.batch_size,
+                                       shuffle=shuffle, seed=cfg.seed)
+        chunks = list(sampler.local_batches(epoch))
+        raw_iter = prefetch_map(ds.raw_batch, chunks,
+                                depth=max(cfg.prefetch_depth, 2), workers=1)
+        if self.fused:
+            yield from raw_iter
+            return
+        aug_flags = dict(coord_uv_noise=cfg.coord_uv_noise,
+                         crop_center_noise=cfg.crop_center_noise,
+                         crop_scale_noise=cfg.crop_scale_noise,
+                         crop_offset_noise=cfg.crop_offset_noise,
+                         scoremap_dropout=cfg.scoremap_dropout,
+                         hue_aug=cfg.hue_aug) if is_train else None
+        aug_rng = jax.random.PRNGKey(cfg.seed * 7919 + epoch) \
+            if is_train else None
+        yield from device_batches(
+            iter(raw_iter), crop_size=cfg.crop_size, sigma=cfg.sigma,
+            switch_joint_order=cfg.joint_order_switched,
+            prefetch_depth=0, aug_rng=aug_rng, aug_flags=aug_flags)
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, split: str, fast_debug: bool = False):
