@@ -27,7 +27,7 @@ from ..data.rhd import RHDDataset
 from ..data.synthetic import fake_sample_batch
 from ..models import build_model
 from ..parallel.mesh import make_mesh, replicate, shard_batch
-from ..utils.logging import RunLogger, StepStats, make_run_dir
+from ..utils.logging import NullLogger, RunLogger, StepStats, make_run_dir
 from .checkpoints import filtered_resume, save_checkpoint
 from .preemption import PreemptionGuard
 from .state import create_train_state
@@ -133,9 +133,20 @@ class Worker:
             batch_stats=replicate(self.state.batch_stats, self.mesh),
             opt_state=replicate(self.state.opt_state, self.mesh))
 
-        self.run_dir = run_dir or make_run_dir(
-            cfg.save_log_dir, cfg.model_name, cfg.dataset_name, cfg.to_json())
-        self.logger = RunLogger(self.run_dir)
+        # multi-host: only the lead host owns the run directory, logs and
+        # checkpoints (non-lead writes would collide on shared storage or
+        # produce N duplicate run dirs)
+        self.is_lead = jax.process_index() == 0
+        if run_dir is not None:
+            self.run_dir = run_dir
+        elif self.is_lead:
+            self.run_dir = make_run_dir(cfg.save_log_dir, cfg.model_name,
+                                        cfg.dataset_name, cfg.to_json())
+        else:   # path used in messages only; never created/written
+            self.run_dir = os.path.join(
+                cfg.save_log_dir, f"nonlead_rank{jax.process_index()}")
+        self.logger = RunLogger(self.run_dir) if self.is_lead \
+            else NullLogger()
         self.stats = StepStats()
         self.start_epoch = 0
         self.best_mpjpe = float(np.inf)
@@ -180,9 +191,14 @@ class Worker:
     def _epoch_batches(self, split: str, seed: int) -> Iterator[dict]:
         cfg = self.cfg
         if self.train_ds is None:
+            # each host draws DISTINCT synthetic samples (rank folded into
+            # the seed): under multi-host the global batch is the
+            # concatenation of per-host local batches, not N copies
+            rank_off = jax.process_index() * 1_000_003
             for i in range(self.steps_per_epoch):
                 yield fake_sample_batch(min(cfg.batch_size, 8), cfg.crop_size,
-                                        cfg.input_channels, seed * 1000 + i)
+                                        cfg.input_channels,
+                                        seed * 1000 + i + rank_off)
             return
         ds = self.train_ds if split == "training" else self.val_ds
         is_train = split == "training"
@@ -192,14 +208,17 @@ class Worker:
             # multi-host: every host loads only ITS shard of each global
             # batch; run_epoch's shard_batch assembles the shards into
             # global arrays (parallel.mesh.global_shard_batch)
-            yield from self._multihost_epoch_batches(ds, is_train, shuffle,
-                                                     seed)
+            yield from self._multihost_epoch_batches(ds, shuffle, seed)
             return
+        # epoch permutation seed matches HostShardSampler's formula, so a
+        # single-host run sees the SAME permutation a multi-host run
+        # splits across hosts (and different cfg.seed runs differ)
+        shuf_seed = cfg.seed * 100003 + seed
         if self.fused:
             # raw device batches only; preprocessing happens inside the
             # fused step programs
             yield from raw_device_batches(
-                ds, cfg.batch_size, shuffle=shuffle, seed=seed,
+                ds, cfg.batch_size, shuffle=shuffle, seed=shuf_seed,
                 depth=max(cfg.prefetch_depth, 2),
                 workers=1 if getattr(ds, "_color_mm", None) is not None
                 else 2,
@@ -217,7 +236,7 @@ class Worker:
         # arrive on device; device_batches then only runs the jitted
         # preprocessing)
         raw_iter = raw_device_batches(
-            ds, cfg.batch_size, shuffle=shuffle, seed=seed,
+            ds, cfg.batch_size, shuffle=shuffle, seed=shuf_seed,
             depth=max(cfg.prefetch_depth, 2),
             workers=1 if getattr(ds, "_color_mm", None) is not None else 2)
         # prefetch_depth=0: raw_iter already overlaps collate in its own
@@ -230,43 +249,35 @@ class Worker:
             prefetch_depth=0,
             aug_rng=aug_rng, aug_flags=aug_flags)
 
-    def _multihost_epoch_batches(self, ds, is_train: bool, shuffle: bool,
-                                 epoch: int, sampler=None):
-        """Per-host local batches for multi-host training.
+    def _multihost_epoch_batches(self, ds, shuffle: bool, epoch: int,
+                                 sampler=None):
+        """Per-host local RAW batches for multi-host training (fused-only).
 
         Each host reads its deterministic contiguous shard of the
         epoch-seeded global permutation (``HostShardSampler``, the
-        DistributedSampler analogue); the fused path yields raw host
-        batches, the unfused path preprocessed device dicts -- in both
-        cases run_epoch's ``shard_batch`` turns the local shard into
-        global arrays.  ``sampler`` is injectable for testing host ranks
-        without multiple processes.
+        DistributedSampler analogue); run_epoch's ``shard_batch`` turns
+        the local shard into global arrays, and augmentation/preprocessing
+        happen INSIDE the one global fused step program (so per-sample
+        noise is drawn over the whole global batch -- host-local aug rng
+        would duplicate draws across hosts).  ``sampler`` is injectable
+        for testing host ranks without multiple processes.
         """
-        from ..data.pipeline import device_batches, prefetch_map
+        from ..data.pipeline import prefetch_map
         from ..parallel.distributed import HostShardSampler
 
         cfg = self.cfg
+        if not self.fused:
+            raise ValueError(
+                "multi-host training requires the fused step path: keep "
+                "fuse_preprocess=True (host-local preprocessing would "
+                "correlate augmentation draws across hosts and bounce "
+                "batches device->host->device)")
         if sampler is None:
             sampler = HostShardSampler(len(ds), cfg.batch_size,
                                        shuffle=shuffle, seed=cfg.seed)
         chunks = list(sampler.local_batches(epoch))
-        raw_iter = prefetch_map(ds.raw_batch, chunks,
+        yield from prefetch_map(ds.raw_batch, chunks,
                                 depth=max(cfg.prefetch_depth, 2), workers=1)
-        if self.fused:
-            yield from raw_iter
-            return
-        aug_flags = dict(coord_uv_noise=cfg.coord_uv_noise,
-                         crop_center_noise=cfg.crop_center_noise,
-                         crop_scale_noise=cfg.crop_scale_noise,
-                         crop_offset_noise=cfg.crop_offset_noise,
-                         scoremap_dropout=cfg.scoremap_dropout,
-                         hue_aug=cfg.hue_aug) if is_train else None
-        aug_rng = jax.random.PRNGKey(cfg.seed * 7919 + epoch) \
-            if is_train else None
-        yield from device_batches(
-            iter(raw_iter), crop_size=cfg.crop_size, sigma=cfg.sigma,
-            switch_joint_order=cfg.joint_order_switched,
-            prefetch_depth=0, aug_rng=aug_rng, aug_flags=aug_flags)
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int, split: str, fast_debug: bool = False):
@@ -280,7 +291,7 @@ class Worker:
             self.stats.input.toc()
             if fast_debug and idx > 2:
                 break
-            if self.preempt is not None and self.preempt.requested:
+            if self._preempt_now():
                 self.logger.text(
                     f"preemption requested: stopping {split} at epoch "
                     f"{epoch} iter {idx}")
@@ -356,13 +367,13 @@ class Worker:
                     self.run_epoch(epoch, "training", fast_debug)
             else:
                 self.run_epoch(epoch, "training", fast_debug)
-            if self.preempt is not None and self.preempt.requested:
+            if self._preempt_now():
                 # save resumable state pinned to the INTERRUPTED epoch
                 # (it ran partially; resume restarts it), then exit clean
                 self._save_preemption_checkpoint(epoch)
                 return self.best_mpjpe
             val = self.run_epoch(epoch, "validation", fast_debug)
-            if self.preempt is not None and self.preempt.requested:
+            if self._preempt_now():
                 # training for this epoch completed but validation was cut
                 # short: the partial `val` is biased, so do NOT touch
                 # best/checkpoint_best; resume continues at the next epoch
@@ -371,13 +382,33 @@ class Worker:
             is_best = val is not None and val < self.best_mpjpe
             if is_best:
                 self.best_mpjpe = val
-            save_checkpoint(os.path.abspath(self.run_dir), self.state,
-                            epoch + 1, self.best_mpjpe, is_best)
+            if self.is_lead:   # params are replicated; one host persists
+                save_checkpoint(os.path.abspath(self.run_dir), self.state,
+                                epoch + 1, self.best_mpjpe, is_best)
         return self.best_mpjpe
 
+    def _preempt_now(self) -> bool:
+        """Cross-host-consistent preemption flag.
+
+        On multi-host runs a skewed SIGTERM must not let one host break
+        out while its peers enter the next collective step program (that
+        deadlocks the fleet at the exact moment it should checkpoint):
+        hosts all-gather the local flag at every step boundary so every
+        host stops at the SAME boundary.  Arm the guard on all hosts (the
+        CLI does).
+        """
+        if self.preempt is None:
+            return False
+        if jax.process_count() == 1:
+            return self.preempt.requested
+        from jax.experimental import multihost_utils
+        return bool(np.any(multihost_utils.process_allgather(
+            np.asarray(self.preempt.requested))))
+
     def _save_preemption_checkpoint(self, start_epoch: int) -> None:
-        save_checkpoint(os.path.abspath(self.run_dir), self.state,
-                        start_epoch, self.best_mpjpe, is_best=False)
+        if self.is_lead:
+            save_checkpoint(os.path.abspath(self.run_dir), self.state,
+                            start_epoch, self.best_mpjpe, is_best=False)
         self.logger.text(
             f"preemption checkpoint written (resumes at epoch "
             f"{start_epoch}); resume with --resume "

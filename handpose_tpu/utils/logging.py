@@ -79,6 +79,20 @@ class RunLogger:
             self.writer.close()
 
 
+class NullLogger:
+    """RunLogger-shaped no-op for non-lead hosts in multi-host runs (only
+    process 0 owns the run directory, TensorBoard, and log.txt)."""
+
+    def scalar(self, tag: str, value: float, step: int):
+        pass
+
+    def text(self, info: str):
+        pass
+
+    def close(self):
+        pass
+
+
 class Timer:
     """Cumulative timer (reference utils/timer.py:40-68 analogue)."""
 

@@ -156,7 +156,7 @@ def test_multihost_epoch_batches_partition(tmp_path):
                                    process_index=rank, process_count=2,
                                    shuffle=True, seed=3)
         raws = list(Worker._multihost_epoch_batches(
-            w, ds, True, True, epoch=1, sampler=sampler))
+            w, ds, True, epoch=1, sampler=sampler))
         # global batch 4 over 2 hosts -> local batch 2, 8 samples/host
         assert all(r.image.shape[0] == 2 for r in raws)
         assert len(raws) == 4
@@ -167,3 +167,18 @@ def test_multihost_epoch_batches_partition(tmp_path):
     full = ds.raw_batch(list(range(16))).keypoint_uv
     key = lambda a: a.reshape(a.shape[0], -1).sum(1).round(3)
     assert sorted(key(both).tolist()) == sorted(key(full).tolist())
+
+
+def test_multihost_requires_fused_path(tmp_path):
+    """Unfused multi-host would correlate host-local augmentation draws
+    and bounce batches device->host->device; it is rejected clearly."""
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train import Worker
+
+    write_synthetic_rhd(str(tmp_path), "evaluation", 8)
+    ds = RHDDataset(str(tmp_path), "evaluation")
+    w = object.__new__(Worker)
+    w.cfg = CFG.replace(batch_size=4)
+    w.fused = False
+    with pytest.raises(ValueError, match="fuse_preprocess"):
+        list(Worker._multihost_epoch_batches(w, ds, False, epoch=0))
