@@ -53,9 +53,13 @@ def hand_mask_loss(pred_uv: jnp.ndarray, gt_uv: jnp.ndarray,
 
     Reference loss.py:92-111; integer-truncated uv gather with clamping.
     """
-    W = hand_mask.shape[-1]
-    gt = jnp.clip(gt_uv.astype(jnp.int32), 0, W - 1)
-    pr = jnp.clip(pred_uv.astype(jnp.int32), 0, W - 1)
+    # clamp u by W and v by H (the reference clamps both by shape[-1],
+    # loss.py:96-101 -- identical for its square 256^2 masks, wrong rows
+    # for non-square ones, so the port clamps per-axis)
+    H, W = hand_mask.shape[-2], hand_mask.shape[-1]
+    lim = jnp.asarray([W - 1, H - 1], jnp.int32)
+    gt = jnp.clip(gt_uv.astype(jnp.int32), 0, lim)
+    pr = jnp.clip(pred_uv.astype(jnp.int32), 0, lim)
     b = jnp.arange(hand_mask.shape[0])[:, None]
     gt_samples = hand_mask[b, gt[..., 1], gt[..., 0]]
     pr_samples = hand_mask[b, pr[..., 1], pr[..., 0]]

@@ -73,7 +73,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = nn.Conv(self.dim_out, (3,), padding=[(1, 1)], name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        # epsilon: torch nn.GroupNorm default is 1e-5 (flax's is 1e-6)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift

@@ -165,7 +165,8 @@ class ManoLayer:
         self.v_template = jnp.asarray(m.v_template)
         # (bases, 778*3) like the reference's permute+reshape
         self.shape_basis = jnp.asarray(
-            np.transpose(m.shapedirs, (2, 0, 1)).reshape(10, -1))
+            np.transpose(m.shapedirs, (2, 0, 1)).reshape(
+                m.shapedirs.shape[-1], -1)[:bases_num])
         self.posedirs = jnp.asarray(m.posedirs)
         self.J_regressor = jnp.asarray(m.J_regressor)
         self.weights = jnp.asarray(m.weights)

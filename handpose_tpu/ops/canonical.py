@@ -66,14 +66,16 @@ def flip_right_hand(coords_xyz_canonical: jnp.ndarray,
 
     Args:
       coords_xyz_canonical: (B, N, 3) or (N, 3).
-      cond_right: broadcastable boolean, e.g. (B, 1) / (B,) / scalar.
+      cond_right: boolean; reference semantics -- gets ONE trailing
+        singleton axis, and a leading batch axis alongside unbatched
+        coords.  So (B, N) / (B, 1) select per-keypoint / per-sample, and
+        unbatched (N,) or scalar conds pair with (N, 3) coords.
     """
     expanded = coords_xyz_canonical.ndim == 2
-    c = jnp.atleast_3d(coords_xyz_canonical)
-    if expanded:
-        c = coords_xyz_canonical[None]
-    mirrored = jnp.stack([c[..., 0], c[..., 1], -c[..., 2]], axis=-1)
+    c = coords_xyz_canonical[None] if expanded else coords_xyz_canonical
     cond = jnp.asarray(cond_right)
-    cond = cond.reshape(cond.shape + (1,) * (c.ndim - cond.ndim))
-    out = jnp.where(cond, mirrored, c)
+    if expanded:
+        cond = cond[None]
+    mirrored = jnp.stack([c[..., 0], c[..., 1], -c[..., 2]], axis=-1)
+    out = jnp.where(cond[..., None], mirrored, c)
     return out[0] if expanded else out

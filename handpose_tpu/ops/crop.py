@@ -101,14 +101,19 @@ def compute_crop_params(keypoint_uv21: jnp.ndarray,
     # int() truncation of python / torch (dataloaderRHD.py:364)
     css = jnp.trunc(crop_size / scale).astype(jnp.int32)
 
-    # "if > 0 else 0" in the reference is equivalent to clamping at 0
-    y1 = jnp.maximum(jnp.trunc(center_y - css // 2).astype(jnp.int32), 0)
-    x1 = jnp.maximum(jnp.trunc(center_x - css // 2).astype(jnp.int32), 0)
+    # "if > 0 else 0" in the reference is equivalent to clamping at 0.
+    # Also clamp the start INSIDE the image and the window length to >= 1:
+    # with center noise the noisy center can land past the border
+    # (y1 == H), where the reference fails loudly (empty slice ->
+    # F.interpolate raises) but an unclamped port would emit len 0 ->
+    # scale inf and silently poison the step.
+    y1 = jnp.clip(jnp.trunc(center_y - css // 2).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(jnp.trunc(center_x - css // 2).astype(jnp.int32), 0, W - 1)
     y2 = jnp.where(y1 + css < H, y1 + css, H)
     x2 = jnp.where(x1 + css < W, x1 + css, W)
 
-    len_y = y2 - y1
-    len_x = x2 - x1
+    len_y = jnp.maximum(y2 - y1, 1)
+    len_x = jnp.maximum(x2 - x1, 1)
     scale_y = crop_size / len_y.astype(jnp.float32)
     scale_x = crop_size / len_x.astype(jnp.float32)
     return CropParams(y1, x1, len_y, len_x, scale_y, scale_x)

@@ -107,9 +107,14 @@ def rodrigues(r: jnp.ndarray, small_angle_eps: float = 1e-30) -> jnp.ndarray:
     ``theta < 1e-30``.  Implemented branch-free with jnp.where so it jits.
     """
     theta2 = jnp.sum(r * r, axis=-1)
-    theta = jnp.sqrt(theta2)
-    safe_theta = jnp.where(theta < small_angle_eps, 1.0, theta)
-    n = r / safe_theta[..., None]
+    # Select small-angle entries from theta^2 and GUARD THE SQRT INPUT:
+    # sqrt has an infinite derivative at 0, which leaks NaN into the
+    # gradient through both sides of the final jnp.where (0 * inf), so
+    # grad-at-zero-rotation (the natural init for MANO thetas) would be
+    # NaN if we took sqrt(theta2) unguarded.
+    small_flat = theta2 <= small_angle_eps * small_angle_eps
+    theta = jnp.sqrt(jnp.where(small_flat, 1.0, theta2))
+    n = r / theta[..., None]
 
     def skew(v):
         vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
@@ -126,5 +131,4 @@ def rodrigues(r: jnp.ndarray, small_angle_eps: float = 1e-30) -> jnp.ndarray:
     t2 = theta2[..., None, None]
     R_small = eye + (1.0 - t2 / 6.0) * sr + (0.5 - t2 / 24.0) * (sr @ sr)
 
-    small = (theta < small_angle_eps)[..., None, None]
-    return jnp.where(small, R_small, R)
+    return jnp.where(small_flat[..., None, None], R_small, R)

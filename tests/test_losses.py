@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from handpose_tpu.losses import (LossCalculation, contrastive_loss,
                                  hand_mask_loss, masked_l2_loss,
@@ -157,3 +158,18 @@ def test_save_scoremap_grid(tmp_path, fixtures):
     out = tmp_path / "grid.png"
     save_scoremap_grid(f["maps"][0], str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_hand_mask_loss_non_square_mask():
+    """v (row) must clamp by H and u (col) by W; the reference clamps
+    both by shape[-1], which is only right for square masks."""
+    H, W = 4, 8
+    mask = np.zeros((1, H, W), np.float32)
+    mask[0, 3, 6] = 1.0        # only hot cell: row 3 (v), col 6 (u)
+    uv_hot = jnp.asarray([[[6.0, 3.0]]])        # lands exactly on it
+    uv_far = jnp.asarray([[[6.0, 100.0]]])      # v clamps to H-1 = 3
+    l_hot = float(hand_mask_loss(uv_hot, uv_hot, jnp.asarray(mask)))
+    assert l_hot == pytest.approx(0.0, abs=1e-6)
+    # clamped-to-border v still reads row 3, same cell -> loss 0
+    l_far = float(hand_mask_loss(uv_far, uv_hot, jnp.asarray(mask)))
+    assert l_far == pytest.approx(0.0, abs=1e-6)

@@ -170,3 +170,52 @@ def test_transform_input_to_output_space():
     np.testing.assert_allclose(out[:, 20, 2], 32.0, atol=1e-4)
     np.testing.assert_allclose(out[:, 41, 2], 32.0, atol=1e-4)
     np.testing.assert_allclose(rd, 32.0, atol=1e-5)
+
+
+def test_rodrigues_grad_finite_at_zero():
+    """sqrt(0) has an infinite derivative; unguarded it leaked NaN into
+    the gradient at exactly-zero rotation vectors (the natural init for
+    MANO thetas).  Values AND grads must be finite and correct there."""
+    from handpose_tpu.ops.rotations import rodrigues
+
+    g = jax.grad(lambda r: jnp.sum(rodrigues(r)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the sum of a skew generator's entries is 0 => zero grad is exact
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+    # value at zero is the identity
+    np.testing.assert_allclose(np.asarray(rodrigues(jnp.zeros(3))),
+                               np.eye(3), atol=1e-7)
+    # batch mixing zero and non-zero: every grad entry finite
+    r = jnp.asarray([[0., 0., 0.], [0.3, -0.2, 0.9]])
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(rodrigues(x))))(r)
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_crop_params_degenerate_center_clamped():
+    """A noisy crop center past the image border must yield a >=1-pixel
+    window with finite scales, not len 0 / scale inf."""
+    uv = jnp.tile(jnp.asarray([[310.0, 315.0]]), (1, 21, 1))
+    vis = jnp.ones((1, 21), bool)
+    # offset noise pushes the center far outside the image
+    params = ops.compute_crop_params(
+        uv, vis, (320, 320), 256,
+        offset_noise=jnp.asarray([[500.0, 500.0]]))
+    assert int(params.len_y[0]) >= 1 and int(params.len_x[0]) >= 1
+    assert np.isfinite(float(params.scale_y[0]))
+    assert np.isfinite(float(params.scale_x[0]))
+    assert int(params.y1[0]) <= 319 and int(params.x1[0]) <= 319
+
+
+def test_flip_right_hand_per_keypoint_unbatched():
+    """Unbatched (N,3) coords with a per-keypoint (N,) cond must flip
+    each keypoint by ITS OWN flag (reference unsqueezes cond at axis 0
+    then appends one axis; a trailing-axes reshape broadcast every
+    keypoint by flag 0)."""
+    coords = jnp.asarray(np.random.default_rng(0).normal(
+        size=(21, 3)).astype(np.float32))
+    cond = jnp.asarray((np.arange(21) % 2).astype(bool))
+    out = np.asarray(ops.flip_right_hand(coords, cond))
+    assert out.shape == (21, 3)
+    ref = np.asarray(coords).copy()
+    ref[1::2, 2] *= -1.0
+    np.testing.assert_allclose(out, ref, atol=0)
