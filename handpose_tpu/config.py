@@ -199,6 +199,37 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+
+def apply_overrides(cfg: Config, pairs) -> Config:
+    """Apply generic ``--set key=value`` overrides with field-typed
+    coercion (shared by trainval.py and inference.py).
+
+    Tuples coerce per element from the CURRENT tuple's element type, so
+    int tuples (``--set mesh_shape=4,2``) and str tuples
+    (``--set mesh_axis_names=data,model``) both work; ``-1`` entries in
+    an empty-safe way.  A fresh-typed scalar follows the field's current
+    python type.
+    """
+    kw: dict = {}
+    names = {f.name for f in dataclasses.fields(Config)}
+    for pair in pairs or []:
+        key, _, val = pair.partition("=")
+        if key not in names:
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(cur, bool):
+            kw[key] = val.lower() in ("1", "true", "yes", "on")
+        elif isinstance(cur, int):
+            kw[key] = int(val)
+        elif isinstance(cur, float):
+            kw[key] = float(val)
+        elif isinstance(cur, tuple):
+            elem = type(cur[0]) if cur else str
+            kw[key] = tuple(elem(x) for x in val.split(","))
+        else:
+            kw[key] = val
+    return cfg.replace(**kw)
+
     @classmethod
     def from_json(cls, s: str) -> "Config":
         raw = json.loads(s)

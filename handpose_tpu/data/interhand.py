@@ -108,6 +108,11 @@ class InterHandDataset:
         for ann in db["annotations"]:
             if cap is not None and len(self.datalist) >= cap:
                 break
+            # skip interacting hands FIRST (reference behavior,
+            # dataloaderInterHand2M6.py:112-113) -- a large fraction of the
+            # split, so checking before the camera math halves parse time
+            if ann["hand_type"] == "interacting":
+                continue
             img = images[ann["image_id"]]
             capture_id, cam = img["capture"], img["camera"]
             frame_idx = img["frame_idx"]
@@ -131,8 +136,6 @@ class InterHandDataset:
             joint_valid[:21] *= joint_valid[self.root_joint_idx["right"]]
             joint_valid[21:] *= joint_valid[self.root_joint_idx["left"]]
             hand_type = ann["hand_type"]
-            if hand_type == "interacting":
-                continue
             if rootnet is not None:
                 bbox = np.array(rootnet[str(ann["id"])]["bbox"], np.float32)
             else:
@@ -167,7 +170,10 @@ class InterHandDataset:
                              f"decoded_{self.mode}_{Ht}x{Wt}.u8")
         need = n * Ht * Wt * 3
         if not (os.path.exists(cpath) and os.path.getsize(cpath) >= need):
-            mm = np.lib.format.open_memmap(cpath + ".tmp.npy", mode="w+",
+            # per-process tmp name: see RHDDataset._build_cache (concurrent
+            # builders must not truncate each other's half-written file)
+            tag = f".tmp.{os.getpid()}.npy"
+            mm = np.lib.format.open_memmap(cpath + tag, mode="w+",
                                            dtype=np.uint8,
                                            shape=(n, Ht, Wt, 3))
             step = 128
@@ -176,7 +182,7 @@ class InterHandDataset:
                 mm[s0:s0 + len(idx)] = self._decode_padded(idx)
             mm.flush()
             del mm
-            os.replace(cpath + ".tmp.npy", cpath)
+            os.replace(cpath + tag, cpath)
         self._color_mm = np.load(cpath, mmap_mode="r")
 
     def _decode_padded(self, indices):

@@ -41,7 +41,20 @@ def epoch_index_chunks(n: int, batch_size: int, shuffle: bool = False,
     return [list(order[s:s + batch_size]) for s in range(0, end, batch_size)]
 
 
+class _ProducerError:
+    """Carries a producer-thread exception to the consumer.
+
+    Without this, an iterator failure (corrupt image, IO error) would die
+    inside the daemon thread and the sentinel would make the epoch look
+    like it ENDED normally -- truncated metrics with no error surfaced.
+    """
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def _producer(it, q, stop):
+    payload = _SENTINEL
     try:
         for item in it:
             while not stop.is_set():
@@ -52,13 +65,15 @@ def _producer(it, q, stop):
                     continue
             if stop.is_set():
                 return
+    except BaseException as e:           # deliver, don't swallow
+        payload = _ProducerError(e)
     finally:
-        # the sentinel must be delivered even when the queue is full,
-        # otherwise the consumer blocks forever; retry until the consumer
-        # drains a slot or signals stop
+        # the terminal payload (sentinel or error) must be delivered even
+        # when the queue is full, otherwise the consumer blocks forever;
+        # retry until the consumer drains a slot or signals stop
         while not stop.is_set():
             try:
-                q.put(_SENTINEL, timeout=0.1)
+                q.put(payload, timeout=0.1)
                 break
             except queue.Full:
                 continue
@@ -80,6 +95,8 @@ def prefetch(iterator, depth: int = 2):
             item = q.get()
             if item is _SENTINEL:
                 return
+            if isinstance(item, _ProducerError):
+                raise item.exc
             yield item
     finally:
         stop.set()

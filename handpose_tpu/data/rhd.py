@@ -87,11 +87,16 @@ class RHDDataset:
         csize = n * S * S * 3
         # .npy container: data + header, so compare with >=
         if not (os.path.exists(cpath) and os.path.getsize(cpath) >= csize):
+            # per-process tmp names: concurrent builders (multi-host over
+            # shared storage, train+eval jobs) would otherwise truncate
+            # each other's half-written file; with unique tmps the atomic
+            # os.replace makes the last finisher win with identical bytes
+            tag = f".tmp.{os.getpid()}.npy"
             color = np.lib.format.open_memmap(
-                cpath + ".tmp.npy", mode="w+", dtype=np.uint8,
+                cpath + tag, mode="w+", dtype=np.uint8,
                 shape=(n, S, S, 3))
             mask = np.lib.format.open_memmap(
-                mpath + ".tmp.npy", mode="w+", dtype=np.uint8,
+                mpath + tag, mode="w+", dtype=np.uint8,
                 shape=(n, S, S))
             step = 256
             for s in range(0, n, step):
@@ -101,8 +106,8 @@ class RHDDataset:
                 mask[s:s + len(idx)] = raw[1]
             color.flush(); mask.flush()
             del color, mask
-            os.replace(cpath + ".tmp.npy", cpath)
-            os.replace(mpath + ".tmp.npy", mpath)
+            os.replace(cpath + tag, cpath)
+            os.replace(mpath + tag, mpath)
         self._color_mm = np.load(cpath, mmap_mode="r")
         self._mask_mm = np.load(mpath, mmap_mode="r")
 

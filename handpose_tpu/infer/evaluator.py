@@ -73,6 +73,12 @@ class Evaluator:
         self.visualize_dir = visualize_dir
         if visualize_dir:
             os.makedirs(os.path.join(visualize_dir, "img"), exist_ok=True)
+        self._ds = None           # built once, reused by every evaluate()
+        # jitted forward for evaluate_full's PCK pass (an eager second
+        # forward would run DiffusionHandPose's 200-step DDIM op-by-op)
+        self._jit_forward = jax.jit(
+            lambda p, bs, batch, rng: _forward(
+                self.model.apply, p, bs, batch, self.cfg, False, rng))
 
         # init + load
         sample = self._first_batch()
@@ -88,19 +94,26 @@ class Evaluator:
             self.state, _, _, _ = filtered_resume(self.state, ckpt_path)
 
     def _dataset(self):
+        # cached: InterHand annotation parsing is minutes of JSON work and
+        # every dataset owns a decode thread pool -- rebuilding per call
+        # duplicated both
+        if self._ds is not None:
+            return self._ds
         cfg = self.cfg
         if cfg.dataset_name == "InterHand2.6M":
             from ..data.interhand import InterHandDataset
             # pad_to="auto": one compiled program across the dataset's
             # mixed capture resolutions (same fix as the Worker)
-            return InterHandDataset(cfg.dataset_root_dir, "val",
-                                    cfg.fast_trainval, cfg.trans_test,
-                                    cfg.input_img_shape, cfg.num_workers,
-                                    pad_to="auto",
-                                    cache_decoded=cfg.cache_decoded)
-        return RHDDataset(cfg.dataset_root_dir, "evaluation",
-                          cfg.num_workers,
-                          cache_decoded=cfg.cache_decoded)
+            self._ds = InterHandDataset(cfg.dataset_root_dir, "val",
+                                        cfg.fast_trainval, cfg.trans_test,
+                                        cfg.input_img_shape,
+                                        cfg.num_workers, pad_to="auto",
+                                        cache_decoded=cfg.cache_decoded)
+        else:
+            self._ds = RHDDataset(cfg.dataset_root_dir, "evaluation",
+                                  cfg.num_workers,
+                                  cache_decoded=cfg.cache_decoded)
+        return self._ds
 
     def _first_batch(self):
         cfg = self.cfg
@@ -189,9 +202,8 @@ class Evaluator:
             metrics = self.eval_step(self.state, batch, srng)
             total += float(metrics["mpjpe_sum"])
             count += float(metrics["mpjpe_count"])
-            out, _ = _forward(self.model.apply, self.state.params,
-                              self.state.batch_stats, batch, self.cfg,
-                              False, srng)
+            out, _ = self._jit_forward(self.state.params,
+                                       self.state.batch_stats, batch, srng)
             if out.xyz is not None:
                 vis = batch["keypoint_vis21"]
                 n = float(jnp.sum(vis))

@@ -34,7 +34,12 @@ def export_forward(cfg: Config, variables, batch_size: int,
     H, W = cfg.input_img_shape
 
     def forward(img, K, scale, root):
-        out = model.apply(variables, img, K, scale, root, train=False)
+        # the 'diffusion' rng stream serves DiffusionHandPose's in-forward
+        # DDIM sampling (zoo.py::DiffusionHandPose); a fixed key makes the
+        # exported artifact deterministic (and is ignored by every other
+        # model)
+        out = model.apply(variables, img, K, scale, root, train=False,
+                          rngs={"diffusion": jax.random.PRNGKey(cfg.seed)})
         xyz = out.xyz if out.xyz is not None else jnp.zeros(
             (img.shape[0], cfg.keypoint_num, 3))
         uv = out.uv if out.uv is not None else jnp.zeros(

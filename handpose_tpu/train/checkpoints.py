@@ -64,6 +64,25 @@ def load_raw(path: str):
     return ocp.PyTreeCheckpointer().restore(path)
 
 
+def _place_like(new_tree, like_tree):
+    """Put each restored leaf back with the LIVE leaf's device sharding.
+
+    The Worker replicates/shards TrainState over the mesh before calling
+    resume; rebuilding leaves with a bare jnp.asarray would silently drop
+    that layout (single-device arrays fed to the global SPMD step).
+    Shape mismatches raise so callers can fall back loudly.
+    """
+    def put(new, like):
+        a = np.asarray(new)
+        if hasattr(like, "shape") and tuple(a.shape) != tuple(like.shape):
+            raise ValueError(
+                f"restored leaf shape {a.shape} != live {like.shape}")
+        if isinstance(like, jax.Array):
+            return jax.device_put(a, like.sharding)
+        return jax.numpy.asarray(a)
+    return jax.tree.map(put, new_tree, like_tree)
+
+
 def filtered_resume(state, ckpt_path: str) -> Tuple[Any, int, float, bool]:
     """Load a checkpoint into ``state`` with the reference's semantics.
 
@@ -82,8 +101,7 @@ def filtered_resume(state, ckpt_path: str) -> Tuple[Any, int, float, bool]:
         len(matched) == len(cur)
     is_finetune = not full_match
 
-    state = state.replace(params=jax.tree.map(
-        lambda a: jax.numpy.asarray(a), new_params))
+    state = state.replace(params=_place_like(new_params, state.params))
     if full_match:
         # exact architecture: restore optimizer/epoch/best like the
         # reference's "resume" branch (trainval.py:196-208)
@@ -91,17 +109,22 @@ def filtered_resume(state, ckpt_path: str) -> Tuple[Any, int, float, bool]:
         opt = raw.get("opt_state")
         if bs is not None and jax.tree.structure(
                 bs) == jax.tree.structure(jax.device_get(state.batch_stats)):
-            state = state.replace(batch_stats=jax.tree.map(
-                lambda a: jax.numpy.asarray(a), bs))
+            state = state.replace(
+                batch_stats=_place_like(bs, state.batch_stats))
         if opt is not None:
             try:
                 opt_restored = jax.tree.unflatten(
                     jax.tree.structure(state.opt_state),
                     jax.tree.leaves(opt))
-                state = state.replace(opt_state=jax.tree.map(
-                    lambda a: jax.numpy.asarray(a), opt_restored))
-            except Exception:
-                pass
+                state = state.replace(
+                    opt_state=_place_like(opt_restored, state.opt_state))
+            except Exception as e:
+                # a silent reset here would mean full-LR Adam with zero
+                # moments mid-cosine-decay and nobody knowing why
+                print("WARNING: optimizer-state restore failed "
+                      f"({type(e).__name__}: {e}); resuming epoch/params "
+                      "but with a FRESH optimizer (moments and schedule "
+                      "count reset)")
         return (state, int(raw.get("epoch", 0)),
                 float(raw.get("best_mpjpe", np.inf)), False)
     return state, 0, float(np.inf), True

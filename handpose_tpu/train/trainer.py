@@ -214,11 +214,18 @@ class Worker:
         # single-host run sees the SAME permutation a multi-host run
         # splits across hosts (and different cfg.seed runs differ)
         shuf_seed = cfg.seed * 100003 + seed
+        # validation must see the WHOLE split (the reference val loader
+        # has drop_last=False, trainval.py:141): the tail batch costs one
+        # extra compile for its shape, and the exact mpjpe_sum/count
+        # aggregation weighs it correctly.  Training drops the tail
+        # (fixed step shape, one partial gradient step is noise).
+        drop = is_train
         if self.fused:
             # raw device batches only; preprocessing happens inside the
             # fused step programs
             yield from raw_device_batches(
                 ds, cfg.batch_size, shuffle=shuffle, seed=shuf_seed,
+                drop_remainder=drop,
                 depth=max(cfg.prefetch_depth, 2),
                 workers=1 if getattr(ds, "_color_mm", None) is not None
                 else 2,
@@ -237,6 +244,7 @@ class Worker:
         # preprocessing)
         raw_iter = raw_device_batches(
             ds, cfg.batch_size, shuffle=shuffle, seed=shuf_seed,
+            drop_remainder=drop,
             depth=max(cfg.prefetch_depth, 2),
             workers=1 if getattr(ds, "_color_mm", None) is not None else 2)
         # prefetch_depth=0: raw_iter already overlaps collate in its own

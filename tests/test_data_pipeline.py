@@ -219,3 +219,22 @@ def test_raw_device_batches_matches_direct_shuffled(mini_rhd):
     for a, b in zip(direct, threaded):
         np.testing.assert_array_equal(np.asarray(a.image),
                                       np.asarray(b.image))
+
+
+def test_prefetch_propagates_producer_exception():
+    """An iterator failure inside the producer thread must raise in the
+    consumer, not truncate the epoch silently (metrics over a partial
+    split would otherwise look complete)."""
+    from handpose_tpu.data.pipeline import prefetch
+
+    def bad_iter():
+        yield 1
+        yield 2
+        raise RuntimeError("corrupt sample")
+
+    got = []
+    import pytest
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for x in prefetch(bad_iter(), depth=2):
+            got.append(x)
+    assert got == [1, 2]

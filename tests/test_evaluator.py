@@ -117,3 +117,39 @@ def test_evaluator_consumes_partial_batch(tmp_path):
     assert sizes == [4, 4, 2]
     m = ev.evaluate()
     assert np.isfinite(m)
+
+
+def test_export_diffusion_model(tmp_path):
+    """Exporting DiffusionHandPose must work: its inference forward draws
+    from the 'diffusion' rng stream (in-forward DDIM), which export now
+    provides (a fixed key -> deterministic artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handpose_tpu.infer.export import export_forward, load_exported
+    from handpose_tpu.models import build_model
+
+    cfg = Config(model_name="DiffusionHandPose", input_channels=3,
+                 input_img_shape=(32, 32), resnet_out_feature_dim=64,
+                 condition_feat_dim=32, num_timesteps=8,
+                 num_sampling_timesteps=4)
+    model = build_model(cfg, is_inference=True)
+    B = 2
+    img = jnp.zeros((B, 32, 32, 3))
+    K = jnp.tile(jnp.asarray([[300., 0, 16], [0, 300., 16], [0, 0, 1]]),
+                 (B, 1, 1))
+    scale = jnp.ones((B, 1))
+    root = jnp.zeros((B, 3))
+    var = model.init({"params": jax.random.PRNGKey(0),
+                      "diffusion": jax.random.PRNGKey(1)},
+                     img, K, scale, root)
+    blob = export_forward(cfg, var, B)
+    fn = load_exported(blob)
+    xyz, uv = fn(np.asarray(img), np.asarray(K), np.asarray(scale),
+                 np.asarray(root))
+    assert np.all(np.isfinite(np.asarray(xyz)))
+    assert np.all(np.isfinite(np.asarray(uv)))
+    # deterministic artifact: same inputs -> same outputs
+    xyz2, _ = fn(np.asarray(img), np.asarray(K), np.asarray(scale),
+                 np.asarray(root))
+    np.testing.assert_array_equal(np.asarray(xyz), np.asarray(xyz2))

@@ -374,3 +374,68 @@ def test_validation_with_no_batches_yields_no_metric(tmp_path):
 
     w._epoch_batches = types.MethodType(empty, w)
     assert w.run_epoch(0, "validation") is None
+
+
+def test_worker_validation_includes_tail_batch(tmp_path):
+    """Validation iterates the WHOLE split (reference drop_last=False):
+    the tail partial batch is evaluated; training keeps fixed shapes."""
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+
+    write_synthetic_rhd(str(tmp_path), "evaluation", 16)
+    ds = RHDDataset(str(tmp_path), "evaluation")
+    w = object.__new__(Worker)       # duck-typed: no step compilation
+    w.cfg = TINY.replace(batch_size=6, use_fake_data=False,
+                         dataset_name="RHD")
+    w.train_ds = ds
+    w.val_ds = ds
+    w.fused = True
+    train = list(w._epoch_batches("training", 0))
+    val = list(w._epoch_batches("validation", 0))
+    assert [b.image.shape[0] for b in train] == [6, 6]
+    assert [b.image.shape[0] for b in val] == [6, 6, 4]
+
+
+def test_filtered_resume_preserves_sharding(tmp_path):
+    """Resume must keep the mesh layout the Worker set up (a bare asarray
+    rebuild would feed host-local arrays into the global SPMD step)."""
+    from jax.sharding import NamedSharding
+
+    cfg = TINY
+    model = build_model(cfg)
+    batch = fake_sample_batch(4, 64, 3, seed=0)
+    inp = model_input(batch, 3)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(4, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
+    save_checkpoint(str(tmp_path), state, epoch=3, best_mpjpe=9.0,
+                    is_best=False)
+
+    mesh = make_mesh(shape=(8,))
+    state2 = create_train_state(model, cfg, args, jax.random.PRNGKey(5), 10)
+    state2 = state2.replace(params=replicate(state2.params, mesh),
+                            batch_stats=replicate(state2.batch_stats, mesh),
+                            opt_state=replicate(state2.opt_state, mesh))
+    state2, epoch, best, finetune = filtered_resume(
+        state2, str(tmp_path / "checkpoint"))
+    assert not finetune and epoch == 3
+    for leaf in jax.tree.leaves(state2.params):
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert leaf.sharding.mesh == mesh
+    # values came from the checkpoint
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_apply_overrides_typed_tuples():
+    from handpose_tpu.config import apply_overrides
+
+    c = apply_overrides(TINY, ["mesh_axis_names=data,model",
+                               "mesh_shape=4,2", "sigma=20",
+                               "remat=true"])
+    assert c.mesh_axis_names == ("data", "model")
+    assert c.mesh_shape == (4, 2)
+    assert c.sigma == 20.0 and c.remat is True
+    with pytest.raises(SystemExit):
+        apply_overrides(TINY, ["not_a_field=1"])

@@ -14,34 +14,11 @@ Examples:
 
 import argparse
 
-from handpose_tpu.config import Config, MODEL_NAMES
+from handpose_tpu.config import Config, MODEL_NAMES, \
+    apply_overrides
 from handpose_tpu.train import Worker
 
 
-
-
-def apply_overrides(cfg, pairs):
-    """Apply generic --set key=value overrides with field-typed coercion."""
-    import dataclasses
-
-    types = {f.name: f.type for f in dataclasses.fields(type(cfg))}
-    kw = {}
-    for pair in pairs or []:
-        key, _, val = pair.partition("=")
-        if key not in types:
-            raise SystemExit(f"--set: unknown config field {key!r}")
-        cur = getattr(cfg, key)
-        if isinstance(cur, bool):
-            kw[key] = val.lower() in ("1", "true", "yes", "on")
-        elif isinstance(cur, int):
-            kw[key] = int(val)
-        elif isinstance(cur, float):
-            kw[key] = float(val)
-        elif isinstance(cur, tuple):
-            kw[key] = tuple(int(x) for x in val.split(","))
-        else:
-            kw[key] = val
-    return cfg.replace(**kw)
 
 
 def main():
