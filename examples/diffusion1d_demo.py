@@ -48,15 +48,13 @@ def main():
                                      dim=32)
     rng = jax.random.PRNGKey(0)
     x0, cond = synth_batch(rng, args.batch)
-    params = model.init(
-        {"params": rng, "diffusion": jax.random.fold_in(rng, 1)},
-        x0, cond, rng)
+    params = model.init(rng, x0, cond, rng)
     tx = optax.adam(2e-4)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, rng):
-        d_rng, s_rng, n_rng = jax.random.split(rng, 3)
+        d_rng, n_rng = jax.random.split(rng)
         x0, cond = synth_batch(d_rng, args.batch)
 
         def loss_fn(p):

@@ -92,10 +92,19 @@ bool decode_jpeg(const char* path, uint8_t* out, int H, int W, int C) {
 }
 
 bool decode_any(const char* path, uint8_t* out, int H, int W, int C) {
-  size_t n = std::strlen(path);
-  if (n > 4 && (std::strcmp(path + n - 4, ".png") == 0 ||
-                std::strcmp(path + n - 4, ".PNG") == 0)) {
-    return decode_png(path, out, H, W, C);
+  // Route by magic bytes, not filename: mixed-case extensions (.Png) and
+  // misnamed files (.jpg-named PNGs) are common in scraped datasets.
+  unsigned char magic[8] = {0};
+  if (FILE* f = std::fopen(path, "rb")) {
+    size_t got = std::fread(magic, 1, sizeof magic, f);
+    std::fclose(f);
+    static const unsigned char png_sig[8] =
+        {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+    if (got == 8 && std::memcmp(magic, png_sig, 8) == 0) {
+      return decode_png(path, out, H, W, C);
+    }
+  } else {
+    return false;
   }
   return decode_jpeg(path, out, H, W, C);
 }
@@ -105,7 +114,9 @@ bool decode_any(const char* path, uint8_t* out, int H, int W, int C) {
 extern "C" {
 
 // Decode n images into out (n * H * W * C bytes, row-major batch).
-// Returns 0 on success or (1 + index) of the first failing image.
+// Returns 0 on success, (1 + index) of a failing image (the first
+// failure DETECTED -- under concurrency not necessarily the lowest
+// index), or -1 when no worker thread could be started.
 int decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
                  int C, int n_threads) {
   if (n_threads < 1) n_threads = 1;
@@ -126,7 +137,18 @@ int decode_batch(const char** paths, int n, uint8_t* out, int H, int W,
   std::vector<std::thread> threads;
   int k = n_threads < n ? n_threads : n;
   threads.reserve(k);
-  for (int t = 0; t < k; ++t) threads.emplace_back(work);
+  // A std::thread ctor failure (EAGAIN under cgroup pid limits) must not
+  // throw across the extern "C"/ctypes boundary (UB) nor std::terminate
+  // via joinable destructors: run with however many threads started, or
+  // report -1 if none could.
+  for (int t = 0; t < k; ++t) {
+    try {
+      threads.emplace_back(work);
+    } catch (...) {
+      break;
+    }
+  }
+  if (threads.empty()) return -1;
   for (auto& t : threads) t.join();
   return failed.load();
 }
