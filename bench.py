@@ -230,7 +230,9 @@ def main():
                     "PCIe-attached v5e host this path is compute-bound",
         "train_step_img_per_sec": round(train_img_s, 1),
         "train_note": "fused production step: raw batch -> preprocess + "
-                      f"fwd + bwd + Adam in one program, b{BATCH} bf16",
+                      f"fwd + bwd + Adam in one program, b{BATCH} bf16, "
+                      "stable (partition-invariant) BN variance -- "
+                      "bn_fast_variance=True adds ~7.6%",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
         "mfu_forward": round(mfu_fwd, 4),
         "mfu_train_est": round(mfu_train, 4),

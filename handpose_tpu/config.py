@@ -84,6 +84,12 @@ class Config:
     input_channels: int = 24       # 3 | 21 | 24
     keypoint_num: int = 21
     resnet_out_feature_dim: int = 1024
+    # BatchNorm batch-variance form: False = stable two-pass (torch
+    # semantics, partition-invariant -- sharded == single-chip to ~1e-6);
+    # True = flax's E[x^2]-E[x]^2, ~7.6% faster train step on v5e but
+    # train-mode outputs drift with the device partitioning (catastrophic
+    # cancellation when |mean| >> std).  Eval/inference is unaffected.
+    bn_fast_variance: bool = False
     # backbone stem variant: 'k3s2' (reference conv1 swap) or 'k3s2_s2d'
     # (same function via space-to-depth, 4x wider MXU contraction --
     # exact-equivalence tested; a perf knob, not a semantic one)

@@ -255,6 +255,16 @@ class Unet1D(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def ddim_time_pairs(total: int, sampling: int) -> np.ndarray:
+    """(S, 2) descending (time, time_next) ladder for DDIM.
+
+    Reproduces the reference's ``torch.linspace(-1, T-1, S+1).int()``
+    reversed pairing (conditionalDiffusion.py:678-681).
+    """
+    times = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1]
+    return np.stack([times[:-1], times[1:]], axis=1)
+
+
 def linear_beta_schedule(timesteps: int) -> np.ndarray:
     scale = 1000.0 / timesteps
     return np.linspace(scale * 1e-4, scale * 0.02, timesteps,
@@ -435,8 +445,7 @@ class GaussianDiffusion1D:
         deterministic (reproducible serving; torch-parity tests).
         """
         total, sampling = self.num_timesteps, self.sampling_timesteps
-        times = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1]
-        pairs = np.stack([times[:-1], times[1:]], axis=1)     # (S, 2)
+        pairs = ddim_time_pairs(total, sampling)              # (S, 2)
         s = self.sched
 
         rng, init_rng = jax.random.split(rng)

@@ -90,10 +90,12 @@ class PosePrior(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
+    fast_variance: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
+                                fast_variance=self.fast_variance,
                                 name="backbone")(x, train)
         return DecayMLP(1000, 63, divide=2, activation="LeakyReLU",
                         use_sigmoid=False, name="mlp")(feat)
@@ -107,10 +109,12 @@ class ViewPoint(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
+    fast_variance: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
+                                fast_variance=self.fast_variance,
                                 name="backbone")(x, train)
         out = DecayMLP(1000, 3, divide=4, activation="LeakyReLU",
                        use_sigmoid=False, name="mlp")(feat)

@@ -34,3 +34,24 @@ def fixtures():
     def load(name):
         return dict(np.load(FIXTURES / f"{name}.npz"))
     return load
+
+
+@pytest.fixture(autouse=True)
+def _ref_config_restore():
+    """Reference-config hygiene: the parity tests' _ref_config mutates
+    the torch reference's module globals; snapshot/restore around every
+    test so reference-executing tests cannot order-couple through leaked
+    overrides (uv_from_xD, timesteps, the eypoint_num shim, ...)."""
+    try:
+        import config.config as refcfg
+    except ImportError:
+        yield
+        return
+    saved = {k: getattr(refcfg, k) for k in dir(refcfg)
+             if not k.startswith("__")}
+    yield
+    for k, v in saved.items():
+        setattr(refcfg, k, v)
+    for k in [k for k in dir(refcfg)
+              if not k.startswith("__") and k not in saved]:
+        delattr(refcfg, k)

@@ -131,12 +131,24 @@ def test_random_crop_to_size_branch(raw):
                             random_crop_to_size=True, random_crop_size=200)
     assert not np.allclose(np.asarray(out["image"]),
                            np.asarray(out2["image"]))
-    # crop content comes from the (mirrored) full image
-    full = preprocess_batch(raw)["image"]
     # hand_mask consistency: mask channels complement each other
     hm = np.asarray(out["hand_mask"])
     np.testing.assert_array_equal(hm.sum(-1), np.ones_like(hm[..., 0]))
-    assert full.shape[1] >= 200
+    # crop CONTENT comes from the (mirrored) full image: locate sample
+    # 0's crop as an exact window of the full-size output
+    full = np.asarray(preprocess_batch(raw)["image"][0])
+    c0 = np.asarray(out["image"][0])
+    S = 200
+    found = False
+    for y in range(full.shape[0] - S + 1):
+        for x in range(full.shape[1] - S + 1):
+            if full[y, x, 0] == c0[0, 0, 0] and \
+                    np.array_equal(full[y:y + S, x:x + S], c0):
+                found = True
+                break
+        if found:
+            break
+    assert found, "crop is not a window of the full image"
 
 
 def test_worker_rejects_terminal_transforms(tmp_path):

@@ -13,7 +13,7 @@ from handpose_tpu.nn.diffusion import (DiffusionJointEstimation,
 
 def test_beta_schedules_match_reference_formulas():
     """Schedule constants must match the torch buffers bit-for-bit in f32."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     for T in (50, 400):
         lin = linear_beta_schedule(T)
@@ -77,14 +77,18 @@ def test_ddpm_ancestral_sampler():
 
 
 def test_ddim_time_pairs_match_reference():
-    """The (time, time_next) ladder must reproduce torch.linspace().int()."""
-    import torch
+    """The PRODUCTION ladder (nn.diffusion.ddim_time_pairs, the one
+    ddim_sample scans over) must reproduce torch.linspace().int()'s
+    reversed pairing."""
+    torch = pytest.importorskip("torch")
+    from handpose_tpu.nn.diffusion import ddim_time_pairs
 
-    total, sampling = 400, 200
-    times = torch.linspace(-1, total - 1, steps=sampling + 1)
-    ref = list(reversed(times.int().tolist()))
-    ours = np.linspace(-1, total - 1, sampling + 1).astype(int)[::-1].tolist()
-    assert ref == ours
+    for total, sampling in [(400, 200), (8, 4), (100, 33)]:
+        times = list(reversed(
+            torch.linspace(-1, total - 1, steps=sampling + 1).int()
+            .tolist()))
+        ref = [[a, b] for a, b in zip(times[:-1], times[1:])]
+        assert ddim_time_pairs(total, sampling).tolist() == ref
 
 
 def test_unet2d_and_generic_diffusion():

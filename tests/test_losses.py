@@ -52,7 +52,7 @@ def test_empty_mask_returns_zero():
 
 
 def test_contrastive_matches_torch():
-    import torch
+    torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
     rng = np.random.default_rng(0)
@@ -162,14 +162,19 @@ def test_save_scoremap_grid(tmp_path, fixtures):
 
 def test_hand_mask_loss_non_square_mask():
     """v (row) must clamp by H and u (col) by W; the reference clamps
-    both by shape[-1], which is only right for square masks."""
-    H, W = 4, 8
+    both by shape[-1], which is only right for square masks.
+
+    H > W makes the case discriminating: a both-axes-by-W clamp lands
+    v=6 on row W-1=3 (an IN-RANGE wrong row, not rescued by jnp's gather
+    clipping), reading a cold cell -> loss 1.0 instead of 0.0."""
+    H, W = 8, 4
     mask = np.zeros((1, H, W), np.float32)
-    mask[0, 3, 6] = 1.0        # only hot cell: row 3 (v), col 6 (u)
-    uv_hot = jnp.asarray([[[6.0, 3.0]]])        # lands exactly on it
-    uv_far = jnp.asarray([[[6.0, 100.0]]])      # v clamps to H-1 = 3
+    mask[0, 6, 2] = 1.0        # only hot cell: row 6 (v), col 2 (u)
+    uv_hot = jnp.asarray([[[2.0, 6.0]]])        # lands exactly on it
     l_hot = float(hand_mask_loss(uv_hot, uv_hot, jnp.asarray(mask)))
     assert l_hot == pytest.approx(0.0, abs=1e-6)
-    # clamped-to-border v still reads row 3, same cell -> loss 0
-    l_far = float(hand_mask_loss(uv_far, uv_hot, jnp.asarray(mask)))
-    assert l_far == pytest.approx(0.0, abs=1e-6)
+    # v beyond H clamps to H-1=7; row 7 is cold on both gt and pred so
+    # the loss guard yields 1.0 (sanity that clamping is by H, not W)
+    uv_far = jnp.asarray([[[2.0, 100.0]]])
+    l_far = float(hand_mask_loss(uv_far, uv_far, jnp.asarray(mask)))
+    assert l_far == pytest.approx(1.0, abs=1e-6)

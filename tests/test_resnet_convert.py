@@ -7,6 +7,7 @@ hand-rolls in resnetMANO.py -- and checks our converted Flax trunk
 reproduces its eval-mode forward.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -19,82 +20,12 @@ import jax.numpy as jnp
 
 from handpose_tpu.nn.resnet import ResNet, BasicBlock, BottleneckBlock
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from convert_torch_resnet import convert_state_dict  # noqa: E402
 
 
-class TorchBasic(tnn.Module):
-    expansion = 1
-
-    def __init__(self, inp, planes, stride=1, down=None):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(inp, planes, 3, stride, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(planes)
-        self.downsample = down
-
-    def forward(self, x):
-        r = x if self.downsample is None else self.downsample(x)
-        y = torch.relu(self.bn1(self.conv1(x)))
-        y = self.bn2(self.conv2(y))
-        return torch.relu(y + r)
-
-
-class TorchBottleneck(tnn.Module):
-    expansion = 4
-
-    def __init__(self, inp, planes, stride=1, down=None):
-        super().__init__()
-        self.conv1 = tnn.Conv2d(inp, planes, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, stride, 1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(planes)
-        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
-        self.bn3 = tnn.BatchNorm2d(planes * 4)
-        self.downsample = down
-
-    def forward(self, x):
-        r = x if self.downsample is None else self.downsample(x)
-        y = torch.relu(self.bn1(self.conv1(x)))
-        y = torch.relu(self.bn2(self.conv2(y)))
-        y = self.bn3(self.conv3(y))
-        return torch.relu(y + r)
-
-
-class TorchResNet(tnn.Module):
-    """torchvision-naming-compatible trunk."""
-
-    def __init__(self, block, layers, num_classes=40):
-        super().__init__()
-        self.inplanes = 64
-        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = tnn.BatchNorm2d(64)
-        self.maxpool = tnn.MaxPool2d(3, 2, 1)
-        self.layer1 = self._make(block, 64, layers[0])
-        self.layer2 = self._make(block, 128, layers[1], 2)
-        self.layer3 = self._make(block, 256, layers[2], 2)
-        self.layer4 = self._make(block, 512, layers[3], 2)
-        self.fc = tnn.Linear(512 * block.expansion, num_classes)
-
-    def _make(self, block, planes, n, stride=1):
-        down = None
-        if stride != 1 or self.inplanes != planes * block.expansion:
-            down = tnn.Sequential(
-                tnn.Conv2d(self.inplanes, planes * block.expansion, 1,
-                           stride, bias=False),
-                tnn.BatchNorm2d(planes * block.expansion))
-        blocks = [block(self.inplanes, planes, stride, down)]
-        self.inplanes = planes * block.expansion
-        blocks += [block(self.inplanes, planes) for _ in range(1, n)]
-        return tnn.Sequential(*blocks)
-
-    def forward(self, x):
-        x = torch.relu(self.bn1(self.conv1(x)))
-        x = self.maxpool(x)
-        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
-        x = x.mean(dim=(2, 3))
-        return self.fc(x)
+from torchvision_shim import (TorchBasic, TorchBottleneck,  # noqa: E402
+                              TorchResNet)
 
 
 @pytest.mark.parametrize("block,layers,fblock,name", [
@@ -103,7 +34,7 @@ class TorchResNet(tnn.Module):
 ])
 def test_converted_forward_matches_torch(block, layers, fblock, name):
     torch.manual_seed(0)
-    tnet = TorchResNet(block, layers).eval()
+    tnet = TorchResNet(block, layers, num_classes=40).eval()
     # randomise BN stats so the test catches mean/var mapping errors
     with torch.no_grad():
         for m in tnet.modules():

@@ -66,9 +66,16 @@ def test_train_step_loss_decreases():
 def test_sharded_train_step_8_devices():
     assert len(jax.devices()) == 8
     mesh = make_mesh(shape=(8,), axis_names=("data",))
-    cfg = TINY
+    # f32 + non-degenerate images: the piecewise-constant fake image has
+    # near-zero per-channel BN variances that amplify reduction-order
+    # noise ~40x; random data keeps the honest partition-noise floor
+    # (~1e-4) so a tight tolerance can catch real psum/denominator bugs
+    cfg = TINY.replace(compute_dtype="float32")
     model = build_model(cfg)
     batch = fake_sample_batch(8, 64, 3, seed=0)
+    batch["image_crop"] = jax.random.uniform(
+        jax.random.PRNGKey(42), batch["image_crop"].shape,
+        minval=-0.5, maxval=0.5)
     inp = model_input(batch, 3)
     pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
@@ -88,9 +95,10 @@ def test_sharded_train_step_8_devices():
     step_ref = make_train_step(model, cfg)
     _, m_ref = step_ref(state_ref, batch, jax.random.PRNGKey(1))
     # identical math modulo fp reduction order (batch-norm statistics are
-    # computed globally via psum; summation order differs across shards)
+    # computed globally via psum; summation order differs across shards);
+    # f32 noise is ~1e-4, so 1e-3 still catches %-level sharding bugs
     np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
-                               rtol=5e-2)
+                               rtol=1e-3)
 
 
 def test_trainer_b_step():
