@@ -11,6 +11,8 @@ harnesses that scale over a device mesh.
 
 __version__ = "0.1.0"
 
-from .config import Config, DEFAULT_CONFIG, MODEL_NAMES, LOSS_GATES
+from .config import (Config, DEFAULT_CONFIG, MODEL_NAMES, LOSS_GATES,
+                     apply_overrides)
 
-__all__ = ["Config", "DEFAULT_CONFIG", "MODEL_NAMES", "LOSS_GATES"]
+__all__ = ["Config", "DEFAULT_CONFIG", "MODEL_NAMES", "LOSS_GATES",
+           "apply_overrides"]
