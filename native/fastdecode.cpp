@@ -9,8 +9,11 @@
 // scheduling.  Exposed through ctypes (see
 // handpose_tpu/data/native_decode.py); falls back to cv2 when absent.
 //
-// Build:  g++ -O3 -march=native -shared -fPIC -o libfastdecode.so \
-//             fastdecode.cpp -lpng -ljpeg -lpthread
+// Built automatically by handpose_tpu/data/native_decode.py into an
+// ISA-tagged name (libfastdecode.<machine>-<cpuflags-hash>.so, atomic
+// rename); manual equivalent:
+//   g++ -O3 -march=native -shared -fPIC -o libfastdecode.<tag>.so \
+//       fastdecode.cpp -lpng -ljpeg -lpthread
 
 #include <png.h>
 
