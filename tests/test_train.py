@@ -447,3 +447,34 @@ def test_apply_overrides_typed_tuples():
     assert c.sigma == 20.0 and c.remat is True
     with pytest.raises(SystemExit):
         apply_overrides(TINY, ["not_a_field=1"])
+
+
+def test_preempt_now_multihost_agreement(tmp_path, monkeypatch):
+    """The cross-host agreement path: with >1 process the local flag is
+    all-gathered and ANY host's request stops every host (a skewed
+    SIGTERM must not deadlock the collective step).  The collective is
+    stubbed -- a single process cannot host a real 2-process gather."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from handpose_tpu.train import PreemptionGuard
+
+    w = object.__new__(Worker)        # no compilation needed
+    w.preempt = None
+    assert Worker._preempt_now(w) is False
+
+    w.preempt = PreemptionGuard(signals=())
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    peer = {"requested": False}
+
+    def fake_allgather(x):
+        return np.array([bool(x), peer["requested"]])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        fake_allgather)
+    assert Worker._preempt_now(w) is False     # nobody requested
+    peer["requested"] = True
+    assert Worker._preempt_now(w) is True      # PEER requested -> stop
+    peer["requested"] = False
+    w.preempt.request()
+    assert Worker._preempt_now(w) is True      # local request -> stop
