@@ -205,6 +205,23 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
 
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        """Rehydrate a Config from ``to_json`` output (the run dir's
+        ``config.json`` provenance snapshot, utils/logging.py).  Unknown
+        keys are ignored so old snapshots keep loading after new fields
+        are added; JSON lists become the tuples the fields declare."""
+        raw = json.loads(s)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
 
 def apply_overrides(cfg: Config, pairs) -> Config:
     """Apply generic ``--set key=value`` overrides with field-typed
@@ -235,19 +252,6 @@ def apply_overrides(cfg: Config, pairs) -> Config:
         else:
             kw[key] = val
     return cfg.replace(**kw)
-
-    @classmethod
-    def from_json(cls, s: str) -> "Config":
-        raw = json.loads(s)
-        fields = {f.name for f in dataclasses.fields(cls)}
-        kw = {}
-        for k, v in raw.items():
-            if k not in fields:
-                continue
-            if isinstance(v, list):
-                v = tuple(v)
-            kw[k] = v
-        return cls(**kw)
 
 
 DEFAULT_CONFIG = Config()

@@ -197,10 +197,18 @@ def device_batches(raw_iter: Iterator[RawBatch], *, crop_size: int = 256,
     for raw in batches:
         raw_dev = to_device(raw)
         if isinstance(raw, InterHandRawBatch):
-            # InterHand path has no aug surface in the reference
+            # InterHand's aug surface is the two flags its reference loader
+            # applies (coord_uv_noise + scoremap_dropout,
+            # dataloaderInterHand2M6.py:317-318,549-552)
+            ih_flags = {k: v for k, v in flags.items()
+                        if k in ("coord_uv_noise", "scoremap_dropout") and v}
+            batch_rng = None
+            if rng is not None and ih_flags:
+                rng, batch_rng = jax.random.split(rng)
             yield preprocess_interhand_batch(
                 raw_dev, crop_size=crop_size, sigma=sigma,
-                switch_joint_order=switch_joint_order)
+                switch_joint_order=switch_joint_order,
+                rng=batch_rng, **ih_flags)
             continue
         batch_rng = None
         if rng is not None and any(flags.values()):

@@ -345,13 +345,17 @@ class InterHandRawBatch(NamedTuple):
 
 @partial(jax.jit, static_argnames=("crop_size", "sigma", "use_wrist_coord",
                                    "switch_joint_order", "calculate_scoremap",
-                                   "hand_crop"))
+                                   "hand_crop", "coord_uv_noise",
+                                   "scoremap_dropout"))
 def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
                                sigma: float = 25.0,
                                use_wrist_coord: bool = True,
                                switch_joint_order: bool = True,
                                calculate_scoremap: bool = True,
-                               hand_crop: bool = True) -> dict:
+                               hand_crop: bool = True,
+                               rng: jnp.ndarray | None = None,
+                               coord_uv_noise: bool = False,
+                               scoremap_dropout: bool = False) -> dict:
     """Device-side InterHand2.6M pipeline
     (reference dataloaderInterHand2M6.py:180-532, batched).
 
@@ -361,7 +365,19 @@ def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
     ``torch.tensor(..., dtype=torch.int32)``, and the right_hand_mask is the
     bbox interior inset by 10 px (the reference fabricates it from a zero
     mask, dataloaderInterHand2M6.py:477-489).
+
+    Train-time augmentations are the two the reference's InterHand loader
+    applies: ``coord_uv_noise`` -- N(0, 2.5^2) px on all 42 uv coordinates
+    (dataloaderInterHand2M6.py:176-177,317-318; NB the reference's branch
+    as written would crash, int32 += float noise, so this implements its
+    documented intent on float uv) -- and ``scoremap_dropout`` -- torch
+    ``F.dropout(p=0.8)`` then ``*= 0.8`` (:549-552), i.e. elements survive
+    w.p. 0.2 scaled by p/(1-p) = 4.  Pass ``rng`` when either flag is on.
     """
+    aug_on = coord_uv_noise or scoremap_dropout
+    if aug_on:
+        assert rng is not None, "augmentations need an rng key"
+        rngs = list(jax.random.split(rng, 2))
     B, H, W, _ = raw.image.shape
     image = raw.image.astype(jnp.float32) / 255.0 - 0.5
     kp_uv = jnp.trunc(raw.keypoint_uv).astype(jnp.int32)
@@ -378,6 +394,12 @@ def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
         kp_uv = kp_uv.at[:, 0].set(palm_uv_l).at[:, 21].set(palm_uv_r)
         kp_vis = kp_vis.at[:, 0].set(kp_vis[:, 0] | kp_vis[:, 12])
         kp_vis = kp_vis.at[:, 21].set(kp_vis[:, 21] | kp_vis[:, 33])
+
+    if coord_uv_noise:
+        # reference order: noise right after the palm block (:317-318),
+        # before hand-side selection / mirroring / crop
+        kp_uv = kp_uv.astype(jnp.float32) + 2.5 * jax.random.normal(
+            rngs[0], (B, 42, 2))
 
     cond_left = raw.hand_left.astype(bool)
     orig_w = raw.orig_wh[:, 0]
@@ -457,8 +479,14 @@ def preprocess_interhand_batch(raw: InterHandRawBatch, crop_size: int = 256,
     if calculate_scoremap:
         size = (crop_size, crop_size) if hand_crop else (H, W)
         coords_hw = jnp.stack([kp_uv21[..., 1], kp_uv21[..., 0]], axis=-1)
-        out["scoremap"] = render_gaussian_maps(coords_hw, size, sigma,
-                                               kp_vis21)
+        scoremap = render_gaussian_maps(coords_hw, size, sigma, kp_vis21)
+        if scoremap_dropout:
+            # torch F.dropout(p=0.8) then *0.8 (:549-552): survivors
+            # scaled by p/(1-p) = 4 (same math as the RHD path)
+            p = 0.8
+            keep = jax.random.bernoulli(rngs[1], 1.0 - p, scoremap.shape)
+            scoremap = scoremap * keep / (1.0 - p) * p
+        out["scoremap"] = scoremap
 
     if switch_joint_order:
         perm = jnp.asarray(_SWITCH_PERM)

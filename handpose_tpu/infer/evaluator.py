@@ -28,8 +28,7 @@ from ..data.synthetic import fake_sample_batch
 from ..models import build_model
 from ..train.checkpoints import filtered_resume
 from ..train.state import create_train_state
-from ..train.steps import make_eval_step, _forward
-from ..metrics import pck
+from ..train.steps import make_eval_step
 from ..utils.vis import plot_pred_vs_gt, save_image, to_uint8_image
 
 
@@ -74,11 +73,10 @@ class Evaluator:
         if visualize_dir:
             os.makedirs(os.path.join(visualize_dir, "img"), exist_ok=True)
         self._ds = None           # built once, reused by every evaluate()
-        # jitted forward for evaluate_full's PCK pass (an eager second
-        # forward would run DiffusionHandPose's 200-step DDIM op-by-op)
-        self._jit_forward = jax.jit(
-            lambda p, bs, batch, rng: _forward(
-                self.model.apply, p, bs, batch, self.cfg, False, rng))
+        # evaluate_full's PCK-augmented eval step, built lazily per
+        # thresholds tuple (PCK sums live INSIDE the eval step: one fused
+        # forward per batch, not a second unfused pass)
+        self._pck_steps: dict = {}
 
         # init + load
         sample = self._first_batch()
@@ -177,46 +175,64 @@ class Evaluator:
                 sample = (self._pp_fn(batch, **self._pp_kwargs)
                           if self.fused else batch)
                 self._visualize(sample, srng, visualize_first_n, bi)
-        return total / count if count else 0.0
+        return total / count if count else self._empty_mpjpe()
+
+    def _empty_mpjpe(self) -> float:
+        """No visible joints seen: NaN, never 0.0 (a 0.0 would masquerade
+        as a perfect MPJPE -- same semantics as the trainer's None,
+        train/trainer.py run_epoch)."""
+        import warnings
+        warnings.warn("evaluation saw no visible keypoints; "
+                      "MPJPE is undefined (NaN)")
+        return float("nan")
+
+    def _pck_eval_step(self, ts):
+        """Eval step with PCK sums folded in, cached per thresholds tuple
+        (fused when the fused path is on -- one program per batch)."""
+        key = tuple(np.asarray(ts).tolist())
+        if key not in self._pck_steps:
+            from ..train.steps import make_eval_step as _mk, \
+                make_fused_eval_step as _mkf
+            if self.fused:
+                step = _mkf(self.model, self.cfg, self._pp_fn,
+                            self._pp_kwargs, pck_thresholds=ts)
+            else:
+                step = _mk(self.model, self.cfg, pck_thresholds=ts)
+            self._pck_steps[key] = step
+        return self._pck_steps[key]
 
     def evaluate_full(self, max_batches: Optional[int] = None,
                       thresholds=None) -> dict:
         """MPJPE + PCK curve + 20-50mm AUC over the eval split.
 
         PCK/AUC extend the reference's MPJPE-only protocol with the
-        standard RHD evaluation curve (xyz-output models only).
+        standard RHD evaluation curve (xyz-output models only).  One
+        (fused) forward per batch: the PCK sums are part of the eval
+        step's metrics (train/steps.py::_eval_metrics).
         """
-        import numpy as np
-        import jax.numpy as jnp
-
-        ts = jnp.asarray(thresholds if thresholds is not None
-                         else np.linspace(0.02, 0.05, 31))
+        ts = np.asarray(thresholds if thresholds is not None
+                        else np.linspace(0.02, 0.05, 31))
+        step = self._pck_eval_step(ts)
         total, count = 0.0, 0.0
         pck_correct = np.zeros(ts.shape[0])
         pck_n = 0.0
         rng = jax.random.PRNGKey(0)
-        for bi, batch in enumerate(self._batches()):
+        batches = self._raw_batches() if self.fused else self._batches()
+        for bi, batch in enumerate(batches):
             if max_batches is not None and bi >= max_batches:
                 break
             rng, srng = jax.random.split(rng)
-            metrics = self.eval_step(self.state, batch, srng)
+            metrics = step(self.state, batch, srng)
             total += float(metrics["mpjpe_sum"])
             count += float(metrics["mpjpe_count"])
-            out, _ = self._jit_forward(self.state.params,
-                                       self.state.batch_stats, batch, srng)
-            if out.xyz is not None:
-                vis = batch["keypoint_vis21"]
-                n = float(jnp.sum(vis))
-                curve = np.asarray(pck(out.xyz, batch["keypoint_xyz21"],
-                                       vis, ts))
-                pck_correct += curve * n
-                pck_n += n
+            if "pck_correct_sum" in metrics:
+                pck_correct += np.asarray(metrics["pck_correct_sum"])
+                pck_n += float(metrics["pck_count"])
         curve = (pck_correct / pck_n) if pck_n else np.zeros(ts.shape[0])
-        tsn = np.asarray(ts)
-        auc = (np.trapezoid(curve, tsn) / (tsn[-1] - tsn[0])
+        auc = (np.trapezoid(curve, ts) / (ts[-1] - ts[0])
                if pck_n else 0.0)
-        return {"mpjpe": total / count if count else 0.0,
-                "pck_thresholds": tsn, "pck": curve, "auc_20_50mm": auc}
+        return {"mpjpe": total / count if count else self._empty_mpjpe(),
+                "pck_thresholds": ts, "pck": curve, "auc_20_50mm": auc}
 
     def _visualize(self, batch, rng, n, batch_idx):
         inp = model_input(batch, self.cfg.input_channels)

@@ -52,6 +52,18 @@ def pck(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
     return jnp.sum(correct * v[None], axis=(1, 2)) / n
 
 
+def pck_sum_count(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
+                  keypoint_vis: jnp.ndarray, thresholds: jnp.ndarray):
+    """((T,) correct-joint counts, visible-joint count) -- the exact
+    whole-epoch aggregable form of :func:`pck` (sum the pair over batches,
+    divide at the end), so the PCK pass can ride the SAME fused eval step
+    as MPJPE instead of a second forward."""
+    dist = jnp.sqrt(jnp.sum((pred_xyz - gt_xyz) ** 2, axis=2))
+    v = keypoint_vis.reshape(dist.shape).astype(dist.dtype)
+    correct = (dist[None, ...] < thresholds[:, None, None]).astype(dist.dtype)
+    return jnp.sum(correct * v[None], axis=(1, 2)), jnp.sum(v)
+
+
 def auc_pck(pred_xyz: jnp.ndarray, gt_xyz: jnp.ndarray,
             keypoint_vis: jnp.ndarray, lo: float = 0.02, hi: float = 0.05,
             steps: int = 31) -> jnp.ndarray:

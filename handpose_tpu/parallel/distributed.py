@@ -80,3 +80,29 @@ class HostShardSampler:
             chunk = idx[s:s + self.local_batch]
             if len(chunk) == self.local_batch:
                 yield chunk.tolist()
+
+    def local_batches_padded(self, epoch: int):
+        """Whole-split per-host batches for validation: the epoch order is
+        padded (wrap-around) up to a multiple of the global batch so every
+        sample is seen EXACTLY once across hosts (DistributedSampler-style
+        padding), and each chunk comes with a validity mask marking the
+        pad duplicates -- the consumer zeroes their visibility so the
+        mpjpe_sum/count aggregation weighs the tail exactly.
+
+        Yields ``(indices, valid)`` with ``indices`` a local_batch-long
+        list and ``valid`` a (local_batch,) bool array.
+        """
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed * 100003 + epoch).shuffle(order)
+        global_batch = self.local_batch * self.world
+        pad = (-self.n) % global_batch
+        padded = np.concatenate([order, order[:pad]])
+        valid = np.concatenate([np.ones(self.n, bool), np.zeros(pad, bool)])
+        per_host = len(padded) // self.world
+        start = self.rank * per_host
+        idx = padded[start:start + per_host]
+        v = valid[start:start + per_host]
+        for s in range(0, len(idx), self.local_batch):
+            yield idx[s:s + self.local_batch].tolist(), \
+                v[s:s + self.local_batch]

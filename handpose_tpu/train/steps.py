@@ -21,9 +21,8 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..data.preprocess import model_input
-from ..losses import masked_l2_loss, rot_mat_mse, hand_mask_loss, \
-    regularization_loss
-from ..metrics import masked_sum_count, mpjpe
+from ..losses import LossCalculation, masked_l2_loss, rot_mat_mse
+from ..metrics import masked_sum_count, mpjpe, pck_sum_count
 from .state import TrainState
 
 _TRAINER_B = ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
@@ -47,7 +46,14 @@ def _forward(model_apply, params, batch_stats, batch, cfg: Config,
 
 
 def compute_losses(out, batch, cfg: Config) -> Dict[str, jnp.ndarray]:
-    """Gated loss terms + total (reference trainval.py:330-360)."""
+    """Gated loss terms + total (reference trainval.py:330-360).
+
+    The per-term math lives in ONE criterion object
+    (:class:`handpose_tpu.losses.LossCalculation`, reference loss.py:62-153,
+    constructed per the loss gates the same way trainval.py:115-117 does);
+    this function only does the trainer's aggregation -- the uv/1e5 scaling
+    (trainval.py:346) and adding the model-produced diffusion loss.
+    """
     gates = cfg.loss_gates
     vis = batch["keypoint_vis21"]
     terms = {}
@@ -61,23 +67,32 @@ def compute_losses(out, batch, cfg: Config) -> Dict[str, jnp.ndarray]:
         terms["loss_xyz"] = loss_xyz
         terms["loss_rot"] = loss_rot
         return {**terms, "loss": loss_xyz + loss_rot}
-    if gates["xyz"] and out.xyz is not None:
-        terms["loss_xyz"] = masked_l2_loss(out.xyz, batch["keypoint_xyz21"],
-                                           vis)
-        total = total + terms["loss_xyz"]
-    if gates["uv"] and out.uv is not None:
-        terms["loss_uv"] = masked_l2_loss(out.uv, batch["keypoint_uv21"], vis)
-        total = total + terms["loss_uv"] / 1e5
+    criterion = LossCalculation(
+        loss_type="L2",
+        comp_xyz_loss=gates["xyz"] and out.xyz is not None,
+        comp_uv_loss=gates["uv"] and out.uv is not None,
+        comp_hand_mask_loss=gates["hand_mask"] and out.uv is not None,
+        comp_regularization_loss=(gates["regularization"]
+                                  and out.theta is not None))
+    lt = criterion(out.xyz, batch["keypoint_xyz21"], out.uv,
+                   batch["keypoint_uv21"], vis,
+                   hand_mask=batch.get("right_hand_mask"),
+                   theta=out.theta, beta=out.beta)
+    if lt.xyz is not None:
+        terms["loss_xyz"] = lt.xyz
+        total = total + lt.xyz
+    if lt.uv is not None:
+        terms["loss_uv"] = lt.uv
+        total = total + lt.uv / 1e5
     if gates["diffusion"] and out.diffusion_loss is not None:
         terms["loss_diffusion"] = out.diffusion_loss
         total = total + out.diffusion_loss
-    if gates["hand_mask"] and out.uv is not None:
-        terms["loss_hand_mask"] = hand_mask_loss(
-            out.uv, batch["keypoint_uv21"], batch["right_hand_mask"])
-        total = total + terms["loss_hand_mask"]
-    if gates["regularization"] and out.theta is not None:
-        terms["loss_regularization"] = regularization_loss(out.theta, out.beta)
-        total = total + terms["loss_regularization"]
+    if lt.hand_mask is not None:
+        terms["loss_hand_mask"] = lt.hand_mask
+        total = total + lt.hand_mask
+    if lt.regularization is not None:
+        terms["loss_regularization"] = lt.regularization
+        total = total + lt.regularization
     return {**terms, "loss": total}
 
 
@@ -116,7 +131,7 @@ def make_train_step(model, cfg: Config):
     return train_step
 
 
-def _eval_metrics(out, batch, cfg: Config):
+def _eval_metrics(out, batch, cfg: Config, pck_thresholds=None):
     losses = compute_losses(out, batch, cfg)
     vis = batch["keypoint_vis21"]
     if cfg.model_name in _TRAINER_B:
@@ -129,15 +144,25 @@ def _eval_metrics(out, batch, cfg: Config):
     else:
         m = mpjpe(out.xyz, batch["keypoint_xyz21"], vis)
         s, n = masked_sum_count(out.xyz, batch["keypoint_xyz21"], vis)
-    return {**losses, "mpjpe": m, "mpjpe_sum": s, "mpjpe_count": n}
+    metrics = {**losses, "mpjpe": m, "mpjpe_sum": s, "mpjpe_count": n}
+    if pck_thresholds is not None and out.xyz is not None:
+        # PCK sums ride the same program as MPJPE: one forward per batch
+        # instead of evaluate_full's former second (unfused) pass
+        cs, cn = pck_sum_count(out.xyz, batch["keypoint_xyz21"], vis,
+                               pck_thresholds)
+        metrics["pck_correct_sum"] = cs
+        metrics["pck_count"] = cn
+    return metrics
 
 
-def make_eval_step(model, cfg: Config):
+def make_eval_step(model, cfg: Config, pck_thresholds=None):
+    ts = None if pck_thresholds is None else jnp.asarray(pck_thresholds)
+
     @jax.jit
     def eval_step(state: TrainState, batch, rng):
         out, _ = _forward(model.apply, state.params, state.batch_stats,
                           batch, cfg, False, rng)
-        return _eval_metrics(out, batch, cfg)
+        return _eval_metrics(out, batch, cfg, ts)
 
     return eval_step
 
@@ -179,12 +204,15 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
     return train_step
 
 
-def make_fused_eval_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict):
+def make_fused_eval_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
+                         pck_thresholds=None):
+    ts = None if pck_thresholds is None else jnp.asarray(pck_thresholds)
+
     @jax.jit
     def eval_step(state: TrainState, raw, rng):
         batch = preprocess_fn(raw, **pp_kwargs)
         out, _ = _forward(model.apply, state.params, state.batch_stats,
                           batch, cfg, False, rng)
-        return _eval_metrics(out, batch, cfg)
+        return _eval_metrics(out, batch, cfg, ts)
 
     return eval_step

@@ -105,7 +105,12 @@ class Worker:
             pp_fn = preprocess_interhand_batch if is_ih else preprocess_batch
             pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                              switch_joint_order=cfg.joint_order_switched)
-            aug = None if is_ih else dict(
+            # InterHand's aug surface is the two flags its reference loader
+            # applies (dataloaderInterHand2M6.py:317-318,549-552); RHD has
+            # the full set (dataloaderRHD.py flags)
+            aug = dict(coord_uv_noise=cfg.coord_uv_noise,
+                       scoremap_dropout=cfg.scoremap_dropout) if is_ih \
+                else dict(
                 coord_uv_noise=cfg.coord_uv_noise,
                 crop_center_noise=cfg.crop_center_noise,
                 crop_scale_noise=cfg.crop_scale_noise,
@@ -208,7 +213,8 @@ class Worker:
             # multi-host: every host loads only ITS shard of each global
             # batch; run_epoch's shard_batch assembles the shards into
             # global arrays (parallel.mesh.global_shard_batch)
-            yield from self._multihost_epoch_batches(ds, shuffle, seed)
+            yield from self._multihost_epoch_batches(ds, shuffle, seed,
+                                                     is_train=is_train)
             return
         # epoch permutation seed matches HostShardSampler's formula, so a
         # single-host run sees the SAME permutation a multi-host run
@@ -258,7 +264,7 @@ class Worker:
             aug_rng=aug_rng, aug_flags=aug_flags)
 
     def _multihost_epoch_batches(self, ds, shuffle: bool, epoch: int,
-                                 sampler=None):
+                                 sampler=None, is_train: bool = True):
         """Per-host local RAW batches for multi-host training (fused-only).
 
         Each host reads its deterministic contiguous shard of the
@@ -269,6 +275,14 @@ class Worker:
         noise is drawn over the whole global batch -- host-local aug rng
         would duplicate draws across hosts).  ``sampler`` is injectable
         for testing host ranks without multiple processes.
+
+        Training truncates the remainder (fixed step shape; one partial
+        gradient step is noise).  Validation must see the WHOLE split --
+        same drop_remainder=False semantics as single-host -- so it uses
+        the sampler's padded batches and zeroes the visibility of the
+        wrap-around pad duplicates: they contribute 0 to both mpjpe_sum
+        and mpjpe_count, making the multi-host epoch MPJPE EXACT (not
+        tail-truncated, not pad-biased).
         """
         from ..data.pipeline import prefetch_map
         from ..parallel.distributed import HostShardSampler
@@ -283,8 +297,24 @@ class Worker:
         if sampler is None:
             sampler = HostShardSampler(len(ds), cfg.batch_size,
                                        shuffle=shuffle, seed=cfg.seed)
-        chunks = list(sampler.local_batches(epoch))
-        yield from prefetch_map(ds.raw_batch, chunks,
+        if is_train:
+            chunks = list(sampler.local_batches(epoch))
+            yield from prefetch_map(ds.raw_batch, chunks,
+                                    depth=max(cfg.prefetch_depth, 2),
+                                    workers=1)
+            return
+
+        def fetch(chunk_valid):
+            chunk, valid = chunk_valid
+            raw = ds.raw_batch(chunk)
+            if not valid.all():
+                vis = np.asarray(raw.keypoint_vis) * \
+                    valid[:, None].astype(np.asarray(raw.keypoint_vis).dtype)
+                raw = raw._replace(keypoint_vis=vis)
+            return raw
+
+        chunks = list(sampler.local_batches_padded(epoch))
+        yield from prefetch_map(fetch, chunks,
                                 depth=max(cfg.prefetch_depth, 2), workers=1)
 
     # ------------------------------------------------------------------
@@ -369,7 +399,10 @@ class Worker:
         """Full train/val loop; returns best val MPJPE."""
         end = max_epoch if max_epoch is not None else self.cfg.max_epoch
         for epoch in range(self.start_epoch, end):
-            if epoch == self.cfg.profile_epoch:
+            if epoch == self.cfg.profile_epoch and self.is_lead:
+                # lead-only: a non-lead trace would create/write the
+                # placeholder nonlead_rankN dir the is_lead gating exists
+                # to avoid (steps are identical across hosts anyway)
                 from ..utils.device_info import profile_trace
                 with profile_trace(os.path.join(self.run_dir, "profile")):
                     self.run_epoch(epoch, "training", fast_debug)

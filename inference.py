@@ -37,10 +37,35 @@ def main():
                    help="serialize the loaded model's forward (weights "
                         "baked in) as a jax.export artifact and exit")
     p.add_argument("--export_batch", type=int, default=1)
+    p.add_argument("--from_run", default=None, metavar="RUN_DIR",
+                   help="rehydrate the full Config from RUN_DIR/config.json; "
+                        "--ckpt defaults to RUN_DIR/model_best (falling "
+                        "back to the last checkpoint)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    dest="overrides",
                    help="override any Config field, e.g. --set sigma=10")
     args = p.parse_args()
+
+    if args.from_run:
+        import os
+        with open(os.path.join(args.from_run, "config.json")) as f:
+            cfg = Config.from_json(f.read())
+        ckpt = args.ckpt
+        if ckpt is None:
+            for name in ("model_best", "checkpoint"):
+                cand = os.path.join(args.from_run, name)
+                if os.path.isdir(cand):
+                    ckpt = cand
+                    break
+            if ckpt is None:
+                # never silently evaluate random weights
+                raise SystemExit(
+                    f"--from_run: no model_best/checkpoint dir under "
+                    f"{args.from_run}; pass --ckpt explicitly")
+        cfg = cfg.replace(infer_resume_weight_path=ckpt)
+        cfg = apply_overrides(cfg, args.overrides)
+        _evaluate(args, cfg, ckpt)
+        return
 
     model = args.model
     if model is None and args.ckpt:
@@ -58,7 +83,11 @@ def main():
                  infer_batch_size=args.batch_size, input_channels=in_ch,
                  infer_resume_weight_path=args.ckpt)
     cfg = apply_overrides(cfg, args.overrides)
-    ev = Evaluator(cfg, ckpt_path=args.ckpt,
+    _evaluate(args, cfg, args.ckpt)
+
+
+def _evaluate(args, cfg, ckpt):
+    ev = Evaluator(cfg, ckpt_path=ckpt,
                    visualize_dir=args.visualize_dir)
     if args.export:
         from handpose_tpu.infer.export import export_forward, save_exported

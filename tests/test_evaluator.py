@@ -119,6 +119,40 @@ def test_evaluator_consumes_partial_batch(tmp_path):
     assert np.isfinite(m)
 
 
+def test_empty_eval_returns_nan():
+    """Zero visible joints -> NaN + warning, never 0.0 (a 0.0 would read
+    as a perfect MPJPE; same semantics as the trainer's None)."""
+    import pytest
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="synthetic", infer_batch_size=8,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128)
+    ev = Evaluator(cfg)
+    with pytest.warns(UserWarning, match="no visible keypoints"):
+        m = ev.evaluate(max_batches=0)
+    assert np.isnan(m)
+
+
+def test_evaluate_full_single_pass_fused(tmp_path):
+    """PCK rides the fused eval step (one forward per batch); the fused
+    and unfused evaluate_full must agree."""
+    from handpose_tpu.data.rhd import write_synthetic_rhd
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=8, seed=9)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="RHD", dataset_root_dir=str(root),
+                 infer_batch_size=4, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128)
+    ev = Evaluator(cfg)
+    assert ev.fused
+    res = ev.evaluate_full()
+    ev2 = Evaluator(cfg.replace(fuse_preprocess=False))
+    res2 = ev2.evaluate_full()
+    np.testing.assert_allclose(res["mpjpe"], res2["mpjpe"], rtol=1e-4)
+    np.testing.assert_allclose(res["pck"], res2["pck"], atol=1e-6)
+
+
 def test_export_diffusion_model(tmp_path):
     """Exporting DiffusionHandPose must work: its inference forward draws
     from the 'diffusion' rng stream (in-forward DDIM), which export now

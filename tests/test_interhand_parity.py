@@ -86,6 +86,86 @@ def test_interhand_worker_smoke(tmp_path):
     assert val is not None and np.isfinite(val)
 
 
+@pytest.fixture(scope="module")
+def ih_raw(fixtures):
+    raw = fixtures("interhand_raw")
+    return InterHandRawBatch(
+        image=jnp.asarray(raw["image"]),
+        keypoint_uv=jnp.asarray(raw["keypoint_uv"]),
+        keypoint_vis=jnp.asarray(raw["keypoint_vis"]),
+        keypoint_xyz=jnp.asarray(raw["keypoint_xyz"]),
+        camera_K=jnp.asarray(raw["camera_K"]),
+        hand_left=jnp.asarray(raw["hand_left"]).astype(bool),
+        bbox=jnp.asarray(raw["bbox"]),
+        orig_wh=jnp.full((raw["image"].shape[0], 2),
+                         raw["image"].shape[2], jnp.int32),
+    )
+
+
+def test_ih_coord_uv_noise_stats(ih_raw):
+    """InterHand coord_uv_noise: N(0, 2.5^2) px on the uv coords
+    (reference dataloaderInterHand2M6.py:176-177,317-318 -- the branch as
+    written would crash on int32 += float; this is its documented
+    intent).  With hand_crop off, the uv diff IS the selected-hand noise,
+    so its std must match the declared sigma."""
+    import jax
+
+    base = preprocess_interhand_batch(ih_raw, hand_crop=False,
+                                      calculate_scoremap=False)
+    outs = [preprocess_interhand_batch(
+        ih_raw, hand_crop=False, calculate_scoremap=False,
+        rng=jax.random.PRNGKey(s), coord_uv_noise=True) for s in range(8)]
+    diffs = np.concatenate([
+        np.abs(np.asarray(o["keypoint_uv21"], np.float64) -
+               np.asarray(base["keypoint_uv21"], np.float64)).ravel()
+        for o in outs])
+    assert (diffs > 0).mean() > 0.99       # every coordinate perturbed
+    # |N(0, s^2)| has E=s*sqrt(2/pi), E[x^2]=s^2 -> recover sigma
+    sigma_hat = np.sqrt(np.mean(diffs ** 2))
+    assert 2.2 < sigma_hat < 2.8
+    # ground-truth xyz untouched
+    np.testing.assert_array_equal(outs[0]["keypoint_xyz21"],
+                                  base["keypoint_xyz21"])
+
+
+def test_ih_scoremap_dropout_scaling(ih_raw):
+    """torch F.dropout(p=0.8)*0.8 semantics (reference :549-552): ~20%
+    survive, survivors scaled x4."""
+    import jax
+
+    base = np.asarray(preprocess_interhand_batch(ih_raw)["scoremap"])
+    out = np.asarray(preprocess_interhand_batch(
+        ih_raw, rng=jax.random.PRNGKey(7),
+        scoremap_dropout=True)["scoremap"])
+    nz = out != 0
+    frac = nz.mean() / max((base != 0).mean(), 1e-9)
+    assert 0.1 < frac < 0.35
+    sel = nz & (base > 1e-6)
+    np.testing.assert_allclose(out[sel] / base[sel], 4.0, rtol=1e-4)
+
+
+def test_interhand_worker_trains_with_aug(tmp_path):
+    """The aug flags reach the fused InterHand train step (the Worker no
+    longer hardcodes aug=None for InterHand)."""
+    from handpose_tpu.config import Config
+    from handpose_tpu.data.interhand import write_synthetic_interhand
+    from handpose_tpu.train import Worker
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "train", n=16, seed=3)
+    write_synthetic_interhand(str(root), "val", n=16, seed=4)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="InterHand2.6M", dataset_root_dir=str(root),
+                 batch_size=8, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128, max_epoch=1,
+                 coord_uv_noise=True, scoremap_dropout=True,
+                 save_log_dir=str(tmp_path / "logs"))
+    w = Worker(cfg)
+    w.run_epoch(0, "training", fast_debug=True)
+    val = w.run_epoch(0, "validation", fast_debug=True)
+    assert val is not None and np.isfinite(val)
+
+
 def test_pad_to_keeps_crops_correct(tmp_path):
     """Padding the decoded images must not change crops or annotations."""
     from handpose_tpu.data.interhand import (InterHandDataset,

@@ -88,6 +88,45 @@ def _inputs(seed=0, B=2, S=64):
     return img, K, scale, root
 
 
+def transfer_threedimhandpose(tm):
+    """torch ThreeDimHandPose -> flax (params, batch_stats) trees.
+
+    Shared by the forward-parity test below and the twin-training
+    convergence harness (tools/twin_train_parity.py).
+    """
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "threeDimPoseEstimate": _seq_to_mlp(tm.threeDimPoseEstimate),
+        "bone_angle_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_angle_pred_model.mlp1),
+            "mlp2": _seq_to_mlp(tm.bone_angle_pred_model.mlp2)},
+        "bone_length_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_length_pred_model.mlp1)},
+    }
+    stats = {"resnet_extractor": ext_s}
+    return params, stats
+
+
+def transfer_flagship(tm):
+    """torch Hand3DPosePriorNetwork -> flax (params, batch_stats) trees
+    (twin ResNet-18 backbones + MLP heads).  Shared with
+    tools/twin_train_parity.py."""
+    def head(tnet):
+        sd = {k: v.numpy() for k, v in
+              tnet.extended_resnet18_extractor.feature_extractor
+              .state_dict().items()}
+        p, s = convert_state_dict(sd, [2, 2, 2, 2], block="basic",
+                                  skip_stem=False)
+        return ({"backbone": {"trunk": p}, "mlp": _seq_to_mlp(tnet.mlp)},
+                {"backbone": {"trunk": s}})
+
+    pp_p, pp_s = head(tm.PosePrior_net)
+    vp_p, vp_s = head(tm.ViewPoint_net)
+    return ({"PosePrior_net": pp_p, "ViewPoint_net": vp_p},
+            {"PosePrior_net": pp_s, "ViewPoint_net": vp_s})
+
+
 def test_threedimhandpose_transfer_parity():
     """FK-family end-to-end numerics (reference ThreeDimHandPose.py)."""
     _ref_config(input_channels=3, keypoint_num=21,
@@ -109,17 +148,7 @@ def test_threedimhandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {
-        "resnet_extractor": ext_p,
-        "threeDimPoseEstimate": _seq_to_mlp(tm.threeDimPoseEstimate),
-        "bone_angle_pred_model": {
-            "mlp1": _seq_to_mlp(tm.bone_angle_pred_model.mlp1),
-            "mlp2": _seq_to_mlp(tm.bone_angle_pred_model.mlp2)},
-        "bone_length_pred_model": {
-            "mlp1": _seq_to_mlp(tm.bone_length_pred_model.mlp1)},
-    }
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_threedimhandpose(tm)
 
     # structural check: transferred tree covers the flax tree exactly
     ours = jax.tree_util.tree_structure(
@@ -223,19 +252,7 @@ def test_flagship_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    def head(tnet):
-        sd = {k: v.numpy() for k, v in
-              tnet.extended_resnet18_extractor.feature_extractor
-              .state_dict().items()}
-        p, s = convert_state_dict(sd, [2, 2, 2, 2], block="basic",
-                                  skip_stem=False)
-        return ({"backbone": {"trunk": p}, "mlp": _seq_to_mlp(tnet.mlp)},
-                {"backbone": {"trunk": s}})
-
-    pp_p, pp_s = head(tm.PosePrior_net)
-    vp_p, vp_s = head(tm.ViewPoint_net)
-    params = {"PosePrior_net": pp_p, "ViewPoint_net": vp_p}
-    stats = {"PosePrior_net": pp_s, "ViewPoint_net": vp_s}
+    params, stats = transfer_flagship(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))

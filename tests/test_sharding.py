@@ -176,6 +176,49 @@ def test_multihost_epoch_batches_partition(tmp_path):
     assert sorted(key(both).tolist()) == sorted(key(full).tolist())
 
 
+def test_multihost_val_covers_whole_split(tmp_path):
+    """Validation across hosts must see the WHOLE split exactly once (the
+    single-host drop_remainder=False semantics): the padded sampler wraps
+    the tail up to a full global batch and the Worker zeroes the pad
+    duplicates' visibility so they contribute 0 to mpjpe_sum/count."""
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.parallel.distributed import HostShardSampler
+    from handpose_tpu.train import Worker
+
+    write_synthetic_rhd(str(tmp_path), "evaluation", 10)
+    ds = RHDDataset(str(tmp_path), "evaluation")
+    cfg = CFG.replace(batch_size=4)
+    w = object.__new__(Worker)
+    w.cfg = cfg
+    w.fused = True
+
+    # sampler math: n=10, global=4, 2 hosts -> 12 padded slots, every real
+    # index exactly once, pads marked invalid
+    all_valid_idx, n_pad = [], 0
+    for rank in (0, 1):
+        s = HostShardSampler(10, 4, process_index=rank, process_count=2,
+                             shuffle=False, seed=0)
+        for chunk, valid in s.local_batches_padded(0):
+            assert len(chunk) == 2
+            all_valid_idx += [i for i, v in zip(chunk, valid) if v]
+            n_pad += int((~valid).sum())
+    assert sorted(all_valid_idx) == list(range(10))
+    assert n_pad == 2
+
+    # Worker path: pad samples arrive with zero visibility
+    raws = []
+    for rank in (0, 1):
+        s = HostShardSampler(10, 4, process_index=rank, process_count=2,
+                             shuffle=False, seed=0)
+        raws += list(Worker._multihost_epoch_batches(
+            w, ds, False, epoch=0, sampler=s, is_train=False))
+    assert len(raws) == 6                       # 3 global batches x 2 hosts
+    vis = np.concatenate([np.asarray(r.keypoint_vis) for r in raws])
+    assert vis.shape[0] == 12
+    zero_rows = (~vis.astype(bool)).all(axis=1).sum()
+    assert zero_rows >= 2                       # the two pad duplicates
+
+
 def test_multihost_requires_fused_path(tmp_path):
     """Unfused multi-host would correlate host-local augmentation draws
     and bounce batches device->host->device; it is rejected clearly."""

@@ -449,6 +449,25 @@ def test_apply_overrides_typed_tuples():
         apply_overrides(TINY, ["not_a_field=1"])
 
 
+def test_config_json_roundtrip():
+    """to_json -> from_json restores the exact Config (incl. tuple fields
+    arriving back as tuples, not JSON lists) -- the run dir's config.json
+    provenance snapshot is programmatically reloadable (--from_run)."""
+    from handpose_tpu.config import Config
+
+    assert hasattr(Config, "from_json")
+    cfg = TINY.replace(mesh_shape=(4, 2), mesh_axis_names=("data", "model"),
+                       sigma=12.5, remat=True,
+                       scale_target_size=(120, 160))
+    back = Config.from_json(cfg.to_json())
+    assert back == cfg
+    # unknown keys (older/newer snapshots) are ignored, not fatal
+    import json
+    raw = json.loads(cfg.to_json())
+    raw["some_future_field"] = 42
+    assert Config.from_json(json.dumps(raw)) == cfg
+
+
 def test_preempt_now_multihost_agreement(tmp_path, monkeypatch):
     """The cross-host agreement path: with >1 process the local flag is
     all-gathered and ANY host's request stops every host (a skewed

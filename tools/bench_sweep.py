@@ -12,6 +12,7 @@ Usage:  python tools/bench_sweep.py [--batches 64,128,256,512] [--remat]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -19,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_BF16_FLOPS = 197e12
 

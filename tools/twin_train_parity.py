@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""Twin-training convergence parity: torch reference vs handpose_tpu.
+
+The last unproven BASELINE.md claim is EMPIRICAL convergence parity
+("MPJPE within 1% of the PyTorch reference").  Static weight-transfer
+forward parity and short Adam-trajectory parity pin the per-step numerics;
+this harness pins the *training dynamics*: it trains the executed torch
+reference model (reference trainval.py:234-396 / trainval_hand3DPose.py:
+230-320) and the Flax model FROM THE SAME transferred initialisation on
+THE SAME synthetic-RHD batches in THE SAME order with the same recipe
+(Adam lr=1e-4 + per-epoch CosineAnnealingLR eta_min=1e-5, reference
+trainval.py:119-121), for >=2 epochs / >=100 Adam steps, and compares the
+loss curve and per-epoch validation MPJPE.
+
+The torch side uses the reference's OWN criterion and aggregation
+(criterions/loss.py::LossCalculation, criterions/metrics.py MPJPE
+definition with exact sum/count epoch aggregation); the JAX side runs the
+production ``make_train_step`` / ``make_eval_step`` programs.  Both sides
+consume identical numpy batches produced once by the (parity-tested)
+device preprocessing, so any divergence isolates the training loop:
+forward/backward numerics, Adam, the LR schedule, and BatchNorm
+running-stat evolution (the BN-heavy flagship is the hard case).
+
+Usage:
+  python tools/twin_train_parity.py --model ThreeDimHandPose \
+      --epochs 4 --n-train 200 --batch-size 8
+  python tools/twin_train_parity.py --model Hand3DPosePriorNetwork
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tests"),
+          os.path.dirname(os.path.abspath(__file__))):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+REF = os.environ.get("HANDPOSE_REFERENCE", "/root/reference")
+
+
+def make_epoch_batches(ds, indices_per_epoch, crop, sigma):
+    """Preprocess fixed per-epoch batch index lists into numpy sample
+    dicts with the jitted (parity-tested) pipeline -- the single data
+    source both frameworks consume."""
+    import jax
+
+    from handpose_tpu.data.preprocess import preprocess_batch
+
+    out = []
+    for chunks in indices_per_epoch:
+        ep = []
+        for chunk in chunks:
+            raw = ds.raw_batch(list(chunk))
+            sample = preprocess_batch(jax.device_put(raw), crop_size=crop,
+                                      sigma=sigma, switch_joint_order=True)
+            ep.append({k: np.asarray(v) for k, v in sample.items()})
+        out.append(ep)
+    return out
+
+
+def build_pair(model_name: str, feat_dim: int):
+    """Construct the torch reference model and the Flax model with the
+    torch init transferred (tests/test_model_transfer_parity.py
+    machinery; float32 compute both sides)."""
+    import torch
+
+    import test_model_transfer_parity as xfer
+    from handpose_tpu.config import Config
+    from handpose_tpu.models import build_model
+
+    if model_name == "ThreeDimHandPose":
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         joint_order_switched=True, is_inference=False,
+                         other_joint_angles_num=23, bone_length_num=20)
+        from network.ThreeDimHandPose import ThreeDimHandPose as TorchModel
+
+        torch.manual_seed(0)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="ThreeDimHandPose", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", joint_order_switched=True)
+        params, stats = xfer.transfer_threedimhandpose(tm)
+    elif model_name == "Hand3DPosePriorNetwork":
+        xfer._ref_config(input_channels=21, keypoint_num=21,
+                         is_inference=False, joint_order_switched=True)
+        from network.Hand3DPosePriorNetwork import (
+            Hand3DPosePriorNetwork as TorchModel)
+
+        torch.manual_seed(2)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="Hand3DPosePriorNetwork",
+                     input_channels=21, compute_dtype="float32",
+                     joint_order_switched=True)
+        params, stats = xfer.transfer_flagship(tm)
+    else:
+        raise SystemExit(f"unsupported twin model {model_name!r}")
+    model = build_model(cfg)
+    return tm, model, params, stats, cfg
+
+
+def torch_inputs(batch, cfg):
+    import torch
+
+    from handpose_tpu.data.preprocess import model_input
+
+    inp_nhwc = np.asarray(model_input(batch, cfg.input_channels))
+    inp = torch.tensor(inp_nhwc.transpose(0, 3, 1, 2))
+    B = inp.shape[0]
+    pose_x0 = torch.tensor(
+        batch["keypoint_xyz21_rel_normed"].reshape(B, 1, -1))
+    return (inp, torch.tensor(batch["camera_intrinsic_matrix"]),
+            torch.tensor(batch["keypoint_scale"]),
+            torch.tensor(batch["keypoint_xyz_root"]), pose_x0)
+
+
+def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
+             batch_size: int = 8, epochs: int = 4, crop: int = 64,
+             sigma: float = 6.25, feat_dim: int = 256, seed: int = 0,
+             data_root: str | None = None) -> dict:
+    """Train both frameworks in lockstep; return the trajectories."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train.state import TrainState, make_optimizer
+    from handpose_tpu.train.steps import make_eval_step, make_train_step
+
+    tmpdir = None
+    if data_root is None:
+        tmpdir = tempfile.TemporaryDirectory(prefix="twin_rhd_")
+        data_root = tmpdir.name
+        write_synthetic_rhd(data_root, "training", n=n_train, seed=seed)
+        write_synthetic_rhd(data_root, "evaluation", n=n_val,
+                            seed=seed + 1)
+    train_ds = RHDDataset(data_root, "training")
+    val_ds = RHDDataset(data_root, "evaluation")
+    n_train = min(n_train, len(train_ds))
+    n_val = min(n_val, len(val_ds)) // batch_size * batch_size
+    steps_per_epoch = n_train // batch_size
+
+    # identical epoch batch orders for both frameworks
+    train_idx = []
+    for e in range(epochs):
+        order = np.random.default_rng(seed * 100003 + e).permutation(n_train)
+        train_idx.append([order[s:s + batch_size]
+                          for s in range(0, steps_per_epoch * batch_size,
+                                         batch_size)])
+    val_idx = [[np.arange(s, s + batch_size)
+                for s in range(0, n_val, batch_size)]]
+
+    train_batches = make_epoch_batches(train_ds, train_idx, crop, sigma)
+    val_batches = make_epoch_batches(val_ds, val_idx, crop, sigma)[0]
+
+    tm, model, params, stats, cfg = build_pair(model_name, feat_dim)
+    cfg = cfg.replace(max_epoch=epochs)
+    trainer_b = model_name in ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
+
+    # --- torch side: reference recipe --------------------------------
+    sys.path.insert(0, REF)
+    from criterions.loss import LossCalculation as RefLoss
+
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-4)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs,
+                                                       eta_min=1e-5)
+    crit = RefLoss(device="cpu", comp_xyz_loss=True)
+
+    def torch_loss(batch):
+        inp, K, scale, root, pose_x0 = torch_inputs(batch, cfg)
+        vis = torch.tensor(batch["keypoint_vis21"])
+        if trainer_b:
+            (rel, can, rot), _, _ = tm(inp, K, scale, root, pose_x0)
+            l_xyz, *_ = crit(can, torch.tensor(
+                batch["kp_coord_xyz21_rel_can"]), None, None, vis)
+            l_rot = torch.mean(torch.square(
+                rot - torch.tensor(batch["rot_mat"])))
+            return l_xyz + l_rot, can
+        (xyz, uv, _), _, _ = tm(inp, K, scale, root, pose_x0)
+        l_xyz, *_ = crit(xyz, torch.tensor(batch["keypoint_xyz21"]),
+                         None, None, vis)
+        return l_xyz, xyz
+
+    def torch_val_mpjpe():
+        tm.eval()
+        s, c = 0.0, 0.0
+        with torch.no_grad():
+            for batch in val_batches:
+                _, pred = torch_loss(batch)
+                gt = torch.tensor(batch["kp_coord_xyz21_rel_can"]
+                                  if trainer_b else batch["keypoint_xyz21"])
+                dist = torch.sqrt(torch.sum((pred - gt) ** 2, dim=2))
+                v = torch.tensor(batch["keypoint_vis21"]).reshape(dist.shape)
+                s += float(torch.sum(dist * v)) * 1000.0
+                c += float(torch.sum(v))
+        return s / c
+
+    # --- jax side: production step programs --------------------------
+    tx = make_optimizer(1e-4, 1e-5, epochs, steps_per_epoch)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=jax.tree.map(jnp.asarray, params), tx=tx,
+        batch_stats=jax.tree.map(jnp.asarray, stats))
+    train_step = make_train_step(model, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    def jax_val_mpjpe(state):
+        s, c = 0.0, 0.0
+        for batch in val_batches:
+            m = eval_step(state, batch, jax.random.PRNGKey(0))
+            s += float(m["mpjpe_sum"])
+            c += float(m["mpjpe_count"])
+        return s / c
+
+    torch_losses, jax_losses = [], []
+    torch_vals, jax_vals = [], []
+    rng = jax.random.PRNGKey(7)
+    for epoch in range(epochs):
+        tm.train()
+        for batch in train_batches[epoch]:
+            opt.zero_grad()
+            tl, _ = torch_loss(batch)
+            tl.backward()
+            opt.step()
+            torch_losses.append(float(tl.detach()))
+
+            rng, srng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, srng)
+            jax_losses.append(float(metrics["loss"]))
+        sched.step()
+        torch_vals.append(torch_val_mpjpe())
+        jax_vals.append(jax_val_mpjpe(state))
+
+    t_l, j_l = np.asarray(torch_losses), np.asarray(jax_losses)
+    t_v, j_v = np.asarray(torch_vals), np.asarray(jax_vals)
+    res = {
+        "model": model_name,
+        "steps": len(torch_losses),
+        "epochs": epochs,
+        "torch_losses": t_l.round(6).tolist(),
+        "jax_losses": j_l.round(6).tolist(),
+        "torch_val_mpjpe": t_v.round(5).tolist(),
+        "jax_val_mpjpe": j_v.round(5).tolist(),
+        "final_val_rel_diff": float(abs(t_v[-1] - j_v[-1]) / t_v[-1]),
+        "max_epoch_val_rel_diff": float(np.max(np.abs(t_v - j_v) / t_v)),
+        "mean_loss_rel_diff": float(np.mean(np.abs(t_l - j_l) /
+                                            np.maximum(np.abs(t_l), 1e-8))),
+    }
+    if tmpdir is not None:
+        tmpdir.cleanup()
+    return res
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="ThreeDimHandPose",
+                   choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork"])
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--n-train", type=int, default=200)
+    p.add_argument("--n-val", type=int, default=48)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--crop", type=int, default=64)
+    p.add_argument("--feat-dim", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    res = run_twin(args.model, n_train=args.n_train, n_val=args.n_val,
+                   batch_size=args.batch_size, epochs=args.epochs,
+                   crop=args.crop, feat_dim=args.feat_dim, seed=args.seed)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

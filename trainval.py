@@ -43,10 +43,27 @@ def main():
     p.add_argument("--resume", default=None)
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--from_run", default=None, metavar="RUN_DIR",
+                   help="rehydrate the full Config from RUN_DIR/config.json "
+                        "(the provenance snapshot every run writes); other "
+                        "flags except --resume/--set are ignored")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    dest="overrides",
                    help="override any Config field, e.g. --set sigma=10")
     args = p.parse_args()
+
+    if args.from_run:
+        import os
+        with open(os.path.join(args.from_run, "config.json")) as f:
+            cfg = Config.from_json(f.read())
+        if args.resume:
+            cfg = cfg.replace(resume_weight_path=args.resume)
+        cfg = apply_overrides(cfg, args.overrides)
+        worker = Worker(cfg)
+        worker.enable_preemption_save()
+        best = worker.run(fast_debug=args.fast_debug)
+        print(f"best val MPJPE: {best:.5f}")
+        return
 
     # per-model default input channels (reference config.py:44 conventions)
     in_ch = args.input_channels
