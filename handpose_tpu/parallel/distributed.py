@@ -38,8 +38,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
-        pass  # already initialised
+    except RuntimeError as e:
+        # tolerate double-initialisation only; anything else (coordinator
+        # unreachable, rank mismatch) must surface, not silently degrade
+        # the run to single-process
+        if "already" not in str(e).lower():
+            raise
 
 
 class HostShardSampler:

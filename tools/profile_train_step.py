@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Profile the PRODUCTION fused train step on the real accelerator.
+
+Captures a ``jax.profiler`` trace of the Worker's actual step program
+(raw batch -> device preprocess + forward + backward + Adam in one XLA
+program, train/steps.py::make_fused_train_step) and prints the top time
+sinks by aggregating op self-times from the xplane proto
+(tensorboard-plugin-profile's pure-protobuf reader; no TF needed).
+
+Usage:  python tools/profile_train_step.py [--batch 256] [--steps 10]
+        [--out /tmp/hpt_profile]
+The raw trace stays on disk for TensorBoard's profile plugin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def capture(batch: int, steps: int, out_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from handpose_tpu.config import Config
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train.state import create_train_state
+    from handpose_tpu.train.steps import make_fused_train_step
+
+    cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
+                 batch_size=batch)
+    anno = os.path.join(bench.BENCH_DATA, "evaluation",
+                        "anno_evaluation.pickle")
+    if not os.path.exists(anno):
+        write_synthetic_rhd(bench.BENCH_DATA, "evaluation", bench.N_SAMPLES)
+    ds = RHDDataset(bench.BENCH_DATA, "evaluation", cache_decoded=True)
+    raw = jax.device_put(ds.raw_batch(list(range(batch))))
+    pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
+                     switch_joint_order=cfg.joint_order_switched)
+    sample = preprocess_batch(raw, **pp_kwargs)
+    inp = model_input(sample, cfg.input_channels)
+    pose_x0 = sample["keypoint_xyz21_rel_normed"].reshape(batch, 1, -1)
+    args = (inp, sample["camera_intrinsic_matrix"],
+            sample["keypoint_scale"], sample["keypoint_xyz_root"], pose_x0)
+    model = __import__("handpose_tpu.models",
+                       fromlist=["build_model"]).build_model(cfg)
+    state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
+    step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    rng = jax.random.PRNGKey(1)
+
+    state, m = step(state, raw, rng)       # compile outside the trace
+    float(np.asarray(m["loss"]))
+
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            state, m = step(state, raw, rng)
+        float(np.asarray(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, raw, rng)
+    float(np.asarray(m["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+    print(f"# step {dt * 1e3:.2f} ms untraced "
+          f"({batch / dt:.0f} img/s)", file=sys.stderr)
+
+
+def top_ops(out_dir: str, k: int = 15):
+    """Aggregate per-op self time from the device plane of the xplane."""
+    import xplane_pb2  # vendored public schema, see tools/xplane.proto
+
+    paths = sorted(glob.glob(os.path.join(
+        out_dir, "plugins", "profile", "*", "*.xplane.pb")))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {out_dir}")
+    xspace = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    totals: dict = defaultdict(float)
+    count: dict = defaultdict(int)
+    device_total = 0.0
+    for plane in xspace.planes:
+        name = plane.name.lower()
+        if not ("tpu" in name or "device" in name or "/device:" in name):
+            continue
+        if "host" in name:
+            continue
+        emeta = plane.event_metadata
+        for line in plane.lines:
+            # XLA Ops / XLA TraceMe lines carry per-op device events
+            if "step" in line.name.lower():
+                continue
+            for ev in line.events:
+                meta = emeta.get(ev.metadata_id)
+                if meta is None:
+                    continue
+                dur_us = ev.duration_ps / 1e6
+                totals[meta.name] += dur_us
+                count[meta.name] += 1
+                device_total += dur_us
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:k]
+    return ranked, device_total
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/hpt_profile")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip capture; parse an existing trace dir")
+    args = ap.parse_args()
+    if not args.parse_only:
+        capture(args.batch, args.steps, args.out)
+    ranked, total = top_ops(args.out)
+    print(json.dumps({
+        "trace_dir": args.out,
+        "device_total_us": round(total, 1),
+        "top_ops": [{"op": n, "total_us": round(t, 1),
+                     "pct": round(100 * t / max(total, 1e-9), 2)}
+                    for n, t in ranked],
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -260,6 +260,14 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
 
 
 def main():
+    # parity evidence wants deterministic float32 on both sides: force the
+    # CPU backend (the image's sitecustomize pins the tunneled TPU) and
+    # highest matmul precision, same as tests/conftest.py
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="ThreeDimHandPose",
                    choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork"])
