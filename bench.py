@@ -121,7 +121,31 @@ def bench_e2e(cfg, model, variables):
     resident = BATCH * iters / (time.perf_counter() - t0)
 
     fwd_flops = _flops(pipe, raw_dev, jnp.zeros(()))   # per batch
-    return e2e, resident, fwd_flops
+
+    # model-only forward (no preprocessing in the program): the honest
+    # "model MFU" -- the fused number above includes real preprocessing
+    # flops and is reported separately as mfu_fused_forward
+    sample = preprocess_batch(raw_dev, crop_size=cfg.crop_size)
+    inp0 = model_input(sample, cfg.input_channels)
+    margs = (sample["camera_intrinsic_matrix"], sample["keypoint_scale"],
+             sample["keypoint_xyz_root"])
+
+    @jax.jit
+    def fwd(inp, carry):
+        inp = inp + carry * 0.0             # serialise iterations on device
+        out = model.apply(variables, inp, *margs, train=False)
+        return jnp.sum(out.coord_xyz_rel_normed)
+
+    carry = fwd(inp0, jnp.zeros(()))
+    _sync(carry)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = fwd(inp0, carry)
+    _sync(carry)
+    model_rate = BATCH * iters / (time.perf_counter() - t0)
+    model_flops = _flops(fwd, inp0, jnp.zeros(()))
+    return e2e, resident, fwd_flops, model_rate, model_flops
 
 
 def bench_train_step(cfg, model):
@@ -146,6 +170,11 @@ def bench_train_step(cfg, model):
     step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
     rng = jax.random.PRNGKey(1)
 
+    # XLA-counted flops of the ACTUAL fused train-step program (replaces
+    # the former 3x-forward heuristic); lower() before the donating call
+    # so the donated buffers are still alive
+    train_flops = _flops(step, state, raw, rng)
+
     state, m = step(state, raw, rng)            # compile
     _sync(m["loss"])
     iters = 10
@@ -154,7 +183,7 @@ def bench_train_step(cfg, model):
         state, m = step(state, raw, rng)        # state chains iterations
     _sync(m["loss"])
     dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    return BATCH * iters / dt, train_flops
 
 
 def bench_diffusion_p50(cfg):
@@ -201,15 +230,20 @@ def main():
         warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
         warm["keypoint_xyz_root"], train=False)
 
-    e2e, resident, fwd_flops = bench_e2e(cfg, model, variables)
-    train_img_s = bench_train_step(cfg, model)
-    flops_per_img = fwd_flops / BATCH
-    # MFU from the device-resident rate: e2e is H2D-transfer-bound through
+    e2e, resident, fwd_flops, model_rate, model_flops = \
+        bench_e2e(cfg, model, variables)
+    train_img_s, train_flops = bench_train_step(cfg, model)
+    # MFU from device-resident rates: e2e is H2D-transfer-bound through
     # the axon tunnel (~35 MB/s realised at execution time) and would
-    # misstate chip utilisation
-    mfu_fwd = flops_per_img * resident / PEAK_BF16_FLOPS
-    # fwd+bwd+update ~ 3x forward flops (standard fwd:bwd 1:2 estimate)
-    mfu_train = 3 * flops_per_img * train_img_s / PEAK_BF16_FLOPS
+    # misstate chip utilisation.  Three honest keys:
+    #   mfu_model_forward -- model-only program (the "model MFU")
+    #   mfu_fused_forward -- preprocess+forward fused program (its flops
+    #                        include the real preprocessing work)
+    #   mfu_train         -- XLA-counted flops of the actual fused train
+    #                        step (preprocess+fwd+bwd+Adam), no heuristic
+    mfu_model_fwd = (model_flops / BATCH) * model_rate / PEAK_BF16_FLOPS
+    mfu_fused_fwd = (fwd_flops / BATCH) * resident / PEAK_BF16_FLOPS
+    mfu_train = (train_flops / BATCH) * train_img_s / PEAK_BF16_FLOPS
     ddim_p50 = bench_diffusion_p50(cfg)
 
     print(json.dumps({
@@ -234,8 +268,14 @@ def main():
                       "stable (partition-invariant) BN variance -- "
                       "bn_fast_variance=True adds ~7.6%",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
-        "mfu_forward": round(mfu_fwd, 4),
-        "mfu_train_est": round(mfu_train, 4),
+        "mfu_model_forward": round(mfu_model_fwd, 4),
+        "mfu_fused_forward": round(mfu_fused_fwd, 4),
+        "mfu_train": round(mfu_train, 4),
+        "mfu_note": "all XLA-cost_analysis-counted flops / (time x "
+                    "197 TFLOP/s bf16 peak): model-only forward program, "
+                    "fused preprocess+forward program (includes real "
+                    "preprocessing flops), and the actual fused "
+                    "preprocess+fwd+bwd+Adam train-step program",
         "device": jax.devices()[0].device_kind,
     }))
 

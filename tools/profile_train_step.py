@@ -93,24 +93,30 @@ def top_ops(out_dir: str, k: int = 15):
     device_total = 0.0
     for plane in xspace.planes:
         name = plane.name.lower()
-        if not ("tpu" in name or "device" in name or "/device:" in name):
-            continue
-        if "host" in name:
+        if "tpu" not in name or "host" in name:
             continue
         emeta = plane.event_metadata
         for line in plane.lines:
-            # XLA Ops / XLA TraceMe lines carry per-op device events
-            if "step" in line.name.lower():
+            # ONLY the synchronous per-op line: 'XLA Modules'/'Steps' are
+            # whole-program spans and 'Async XLA Ops' (copy-start/-done)
+            # overlap compute -- counting either double-books the time
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 meta = emeta.get(ev.metadata_id)
                 if meta is None:
                     continue
                 dur_us = ev.duration_ps / 1e6
-                totals[meta.name] += dur_us
-                count[meta.name] += 1
+                # group by op kind: '%convolution.42 = ...' -> 'convolution',
+                # '%fusion.7 = bf16[...] fusion(...), kind=kLoop ...' keeps
+                # its hlo name prefix for readability
+                label = meta.name.split(" = ")[0].lstrip("%")
+                label = label.rsplit(".", 1)[0]
+                totals[label] += dur_us
+                count[label] += 1
                 device_total += dur_us
-    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:k]
+    ranked = [(n, t, count[n]) for n, t in
+              sorted(totals.items(), key=lambda kv: -kv[1])[:k]]
     return ranked, device_total
 
 
@@ -127,10 +133,10 @@ def main():
     ranked, total = top_ops(args.out)
     print(json.dumps({
         "trace_dir": args.out,
-        "device_total_us": round(total, 1),
-        "top_ops": [{"op": n, "total_us": round(t, 1),
+        "device_busy_us": round(total, 1),
+        "top_ops": [{"op": n, "total_us": round(t, 1), "count": c,
                      "pct": round(100 * t / max(total, 1e-9), 2)}
-                    for n, t in ranked],
+                    for n, t, c in ranked],
     }, indent=2))
 
 
