@@ -157,6 +157,9 @@ class Config:
     val_batch_size: int = 200
     test_batch_size: int = 20
     trans_test: str = "rootnet"    # 'gt' | 'rootnet'
+    # which InterHand split the Evaluator consumes ('val' | 'test'; the
+    # reference evaluates val during training and test via its harness)
+    interhand_eval_split: str = "val"
 
     # -- inference (reference config.py:88-101) --
     infer_batch_size: int = 100

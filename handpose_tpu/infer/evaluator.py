@@ -102,7 +102,8 @@ class Evaluator:
             from ..data.interhand import InterHandDataset
             # pad_to="auto": one compiled program across the dataset's
             # mixed capture resolutions (same fix as the Worker)
-            self._ds = InterHandDataset(cfg.dataset_root_dir, "val",
+            self._ds = InterHandDataset(cfg.dataset_root_dir,
+                                        cfg.interhand_eval_split,
                                         cfg.fast_trainval, cfg.trans_test,
                                         cfg.input_img_shape,
                                         cfg.num_workers, pad_to="auto",

@@ -99,6 +99,23 @@ def test_evaluator_interhand(tmp_path):
     assert np.isfinite(m) and m > 0
 
 
+def test_evaluator_interhand_test_split(tmp_path):
+    """interhand_eval_split='test' consumes the test split (the
+    reference's separate test harness protocol)."""
+    from handpose_tpu.data.interhand import write_synthetic_interhand
+
+    root = tmp_path / "ih"
+    write_synthetic_interhand(str(root), "test", n=6, seed=4)
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="InterHand2.6M", dataset_root_dir=str(root),
+                 infer_batch_size=3, input_img_shape=(64, 64),
+                 resnet_out_feature_dim=128, interhand_eval_split="test")
+    ev = Evaluator(cfg)
+    assert len(ev._dataset()) == 6
+    m = ev.evaluate(max_batches=1)
+    assert np.isfinite(m) and m > 0
+
+
 def test_evaluator_consumes_partial_batch(tmp_path):
     """10 samples at bs=4 -> all 10 evaluated (4+4+2), not 8."""
     from handpose_tpu.data.rhd import write_synthetic_rhd

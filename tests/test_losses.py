@@ -87,6 +87,25 @@ def test_pck_and_auc(fixtures):
     assert np.all(np.diff(curve) >= 0)
 
 
+def test_pck_sum_count_aggregates_to_pck(fixtures):
+    """The eval-step aggregable form: summing (correct, n) over batch
+    splits and dividing at the end == pck over the concatenation."""
+    import jax.numpy as jnp
+    from handpose_tpu.metrics import pck, pck_sum_count
+
+    f = fixtures("losses")
+    pred = jnp.asarray(f["pre_xyz"])
+    gt = jnp.asarray(f["gt_xyz"])
+    vis = jnp.asarray(f["vis"])
+    ts = jnp.linspace(0.01, 2.0, 7)
+    whole = np.asarray(pck(pred, gt, vis, ts))
+    h = pred.shape[0] // 2
+    c1, n1 = pck_sum_count(pred[:h], gt[:h], vis[:h], ts)
+    c2, n2 = pck_sum_count(pred[h:], gt[h:], vis[h:], ts)
+    agg = (np.asarray(c1) + np.asarray(c2)) / (float(n1) + float(n2))
+    np.testing.assert_allclose(agg, whole, rtol=1e-6)
+
+
 def test_plot_3d_keypoints(tmp_path, fixtures):
     from handpose_tpu.utils.vis import load_skeleton, plot_3d_keypoints
 

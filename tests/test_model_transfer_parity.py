@@ -127,6 +127,19 @@ def transfer_flagship(tm):
             {"PosePrior_net": pp_s, "ViewPoint_net": vp_s})
 
 
+def transfer_mano3dhandpose(tm):
+    """torch MANO3DHandPose -> flax (params, batch_stats) trees.  Shared
+    with tools/twin_train_parity.py."""
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "theta_predictor": {"mlp1": _seq_to_mlp(tm.theta_predictor.mlp1),
+                            "mlp2": _seq_to_mlp(tm.theta_predictor.mlp2)},
+        "betas_predictor": {"mlp": _seq_to_mlp(tm.betas_predictor.mlp)},
+    }
+    return params, {"resnet_extractor": ext_s}
+
+
 def test_threedimhandpose_transfer_parity():
     """FK-family end-to-end numerics (reference ThreeDimHandPose.py)."""
     _ref_config(input_channels=3, keypoint_num=21,
@@ -197,14 +210,7 @@ def test_mano3dhandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {
-        "resnet_extractor": ext_p,
-        "theta_predictor": {"mlp1": _seq_to_mlp(tm.theta_predictor.mlp1),
-                            "mlp2": _seq_to_mlp(tm.theta_predictor.mlp2)},
-        "betas_predictor": {"mlp": _seq_to_mlp(tm.betas_predictor.mlp)},
-    }
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_mano3dhandpose(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))

@@ -468,6 +468,26 @@ def test_config_json_roundtrip():
     assert Config.from_json(json.dumps(raw)) == cfg
 
 
+def test_trainval_from_run_cli(tmp_path, monkeypatch, capsys):
+    """`trainval.py --from_run <dir>` rehydrates the run's config.json
+    and trains with it (end-to-end through the CLI's main())."""
+    import runpy
+    import sys
+
+    cfg = TINY.replace(save_log_dir=str(tmp_path / "logs"), max_epoch=1,
+                       dataset_name="synthetic")
+    run = tmp_path / "run_x"
+    run.mkdir()
+    (run / "config.json").write_text(cfg.to_json())
+    monkeypatch.setattr(sys, "argv", [
+        "trainval.py", "--from_run", str(run), "--fast_debug",
+        "--set", "log_every_steps=0"])
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                "trainval.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "best val MPJPE:" in out
+
+
 def test_preempt_now_multihost_agreement(tmp_path, monkeypatch):
     """The cross-host agreement path: with >1 process the local flag is
     all-gathered and ANY host's request stops every host (a skewed

@@ -51,3 +51,13 @@ def test_twin_training_convergence_flagship():
     ResNet-18 backbones, canonical + viewpoint loss."""
     _check(_run("Hand3DPosePriorNetwork", n_train=200, n_val=48,
                 batch_size=4, epochs=2, crop=64, seed=0))
+
+
+def test_twin_training_convergence_mano():
+    """MANO family (MANO3DHandPose): theta/beta heads through
+    Rodrigues + LBS."""
+    if not os.path.exists("/root/reference/config/mano/models/"
+                          "MANO_RIGHT.pkl"):
+        pytest.skip("MANO asset not available")
+    _check(_run("MANO3DHandPose", n_train=200, n_val=48, batch_size=4,
+                epochs=2, crop=64, feat_dim=128, seed=0))

@@ -89,6 +89,29 @@ def build_pair(model_name: str, feat_dim: int):
                      resnet_out_feature_dim=feat_dim,
                      compute_dtype="float32", joint_order_switched=True)
         params, stats = xfer.transfer_threedimhandpose(tm)
+    elif model_name == "MANO3DHandPose":
+        mano_pkl = os.path.join(REF, "config", "mano", "models",
+                                "MANO_RIGHT.pkl")
+        if not os.path.exists(mano_pkl):
+            raise SystemExit("MANO asset not available at " + mano_pkl)
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         joint_order_switched=True, is_inference=False,
+                         mano_pose_num=10, mano_beta_num=10,
+                         mano_right_hand_path=mano_pkl)
+        from network.MANO3DHandPose import MANO3DHandPose as TorchModel
+
+        torch.manual_seed(1)
+        tm = TorchModel(device="cpu", mano_right_hand_path=mano_pkl)
+        from handpose_tpu.nn.mano import load_mano
+
+        cfg = Config(model_name="MANO3DHandPose", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", mano_pose_num=10,
+                     joint_order_switched=True)
+        params, stats = xfer.transfer_mano3dhandpose(tm)
+        model = build_model(cfg, mano=load_mano(mano_pkl))
+        return tm, model, params, stats, cfg
     elif model_name == "Hand3DPosePriorNetwork":
         xfer._ref_config(input_channels=21, keypoint_num=21,
                          is_inference=False, joint_order_switched=True)
@@ -270,7 +293,8 @@ def main():
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="ThreeDimHandPose",
-                   choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork"])
+                   choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork",
+                            "MANO3DHandPose"])
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n-train", type=int, default=200)
     p.add_argument("--n-val", type=int, default=48)
