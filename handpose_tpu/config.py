@@ -84,11 +84,19 @@ class Config:
     input_channels: int = 24       # 3 | 21 | 24
     keypoint_num: int = 21
     resnet_out_feature_dim: int = 1024
-    # BatchNorm batch-variance form: False = stable two-pass (torch
-    # semantics, partition-invariant -- sharded == single-chip to ~1e-6);
-    # True = flax's E[x^2]-E[x]^2, ~7.6% faster train step on v5e but
-    # train-mode outputs drift with the device partitioning (catastrophic
-    # cancellation when |mean| >> std).  Eval/inference is unaffected.
+    # BatchNorm batch-variance mode (see nn/norm.py):
+    #   'stable'  two-pass, torch semantics, partition-invariant (sharded
+    #             == single-chip to ~1e-6) -- the default
+    #   'fast'    flax's one-pass E[x^2]-E[x]^2, ~7.6% faster train step
+    #             on v5e but train-mode outputs drift with the device
+    #             partitioning (catastrophic cancellation, |mean| >> std)
+    #   'shifted' one-pass variance centred on the RUNNING mean: benign
+    #             cancellation once the running mean warms up; measured
+    #             +2.7% train step on v5e (tools/bench_bn_modes.py --
+    #             recovers only part of fast's +11.6%)
+    # Eval/inference is unaffected by the choice.
+    bn_variance: str = "stable"
+    # legacy alias (round-2 snapshots): True upgrades 'stable' to 'fast'
     bn_fast_variance: bool = False
     # backbone stem variant: 'k3s2' (reference conv1 swap) or 'k3s2_s2d'
     # (same function via space-to-depth, 4x wider MXU contraction --
@@ -197,6 +205,14 @@ class Config:
     @property
     def crop_size(self) -> int:
         return self.input_img_shape[0]
+
+    @property
+    def bn_mode(self) -> str:
+        """Resolved BatchNorm variance mode ('stable'|'fast'|'shifted'):
+        the legacy bn_fast_variance=True flag upgrades the default."""
+        if self.bn_variance == "stable" and self.bn_fast_variance:
+            return "fast"
+        return self.bn_variance
 
     @property
     def loss_gates(self) -> dict:

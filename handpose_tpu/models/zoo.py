@@ -92,7 +92,7 @@ class TwoDimHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -118,7 +118,7 @@ class TwoDimHandPoseWithFK(nn.Module):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         kp = self.cfg.keypoint_num
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -159,7 +159,7 @@ class ThreeDimHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         from ..nn.mlp import DecayMLP
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -191,7 +191,7 @@ class OnlyThreeDimHandPose(nn.Module):
         from ..nn.mlp import DecayMLP
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -220,7 +220,7 @@ class DiffusionHandPose(nn.Module):
     def setup(self):
         self.resnet_extractor = ResNetFeatureExtractor(
             self.cfg.condition_feat_dim, dtype=_dt(self.cfg),
-            fast_variance=self.cfg.bn_fast_variance,
+            bn_variance=self.cfg.bn_mode,
             stem=self.cfg.resnet_stem)
         self.diff_model = DiffusionJointEstimation(
             keypoint_num=self.cfg.keypoint_num,
@@ -283,7 +283,7 @@ class MANO3DHandPose(nn.Module):
                  index_root_bone_length=None, keypoint_xyz_root=None,
                  pose_x0=None, train: bool = False):
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -314,7 +314,7 @@ class ThreeHandShapeAndPoseMANO(nn.Module):
         regress_uv = self.cfg.network_regress_uv
         fc_dim = 10 + pose_num + 3 + (3 if regress_uv else 0)
         xs = ResNetMano(fc_dim=fc_dim, input_channel=self.cfg.input_channels,
-                        fast_variance=self.cfg.bn_fast_variance,
+                        bn_variance=self.cfg.bn_mode,
                         dtype=_dt(self.cfg), name="resnet_Mano")(img, train)
         rot = xs[:, 0:3]
         theta = xs[:, 3:pose_num + 3]
@@ -345,7 +345,7 @@ class Resnet50MANO3DHandPose(nn.Module):
         pose_num = self.cfg.mano_pose_num
         fc_dim = 10 + pose_num + 3 + (3 if self.cfg.network_regress_uv else 0)
         feat = ExtendedResNet50(dtype=_dt(self.cfg),
-                                fast_variance=self.cfg.bn_fast_variance,
+                                bn_variance=self.cfg.bn_mode,
                                 stem=self.cfg.resnet_stem,
                                 name="extended_resnet50_extractor")(img, train)
         xs = DecayMLP(1000, fc_dim, divide=2, activation="ReLU",
@@ -373,7 +373,7 @@ class Hand3DPoseNet(nn.Module):
                  pose_x0=None, train: bool = False):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
-                                      fast_variance=self.cfg.bn_fast_variance,
+                                      bn_variance=self.cfg.bn_mode,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -410,11 +410,11 @@ class Hand3DPosePriorNetwork(nn.Module):
                  pose_x0=None, train: bool = False):
         B = img.shape[0]
         can = PosePrior(dtype=_dt(self.cfg), stem=self.cfg.resnet_stem,
-                        fast_variance=self.cfg.bn_fast_variance,
+                        bn_variance=self.cfg.bn_mode,
                         name="PosePrior_net")(img, train)
         can = can.reshape(B, -1, 3)
         ux, uy, uz = ViewPoint(dtype=_dt(self.cfg),
-                               fast_variance=self.cfg.bn_fast_variance,
+                               bn_variance=self.cfg.bn_mode,
                                stem=self.cfg.resnet_stem,
                                name="ViewPoint_net")(img, train)
         rot_mat = axis_angle_rot_mat(jnp.concatenate([ux, uy, uz], axis=-1))

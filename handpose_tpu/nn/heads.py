@@ -90,12 +90,12 @@ class PosePrior(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
-    fast_variance: bool = False
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
-                                fast_variance=self.fast_variance,
+                                bn_variance=self.bn_variance,
                                 name="backbone")(x, train)
         return DecayMLP(1000, 63, divide=2, activation="LeakyReLU",
                         use_sigmoid=False, name="mlp")(feat)
@@ -109,12 +109,12 @@ class ViewPoint(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
-    fast_variance: bool = False
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
-                                fast_variance=self.fast_variance,
+                                bn_variance=self.bn_variance,
                                 name="backbone")(x, train)
         out = DecayMLP(1000, 3, divide=4, activation="LeakyReLU",
                        use_sigmoid=False, name="mlp")(feat)

@@ -35,6 +35,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import make_norm
+
 ModuleDef = Any
 
 
@@ -156,21 +158,19 @@ class ResNet(nn.Module):
     num_filters: int = 64
     stem: str = "k3s2"
     dtype: jnp.dtype = jnp.float32
-    # False = two-pass batch variance (torch semantics).  Flax's default
-    # E[x^2]-E[x]^2 cancels catastrophically when |mean| >> std, making
-    # train-mode outputs depend on the reduction partitioning (measured
-    # 2% loss drift sharded-vs-single); the stable form is partition-
-    # invariant to ~1e-6 at a measured 7.6% train-step cost on v5e
-    # (Config.bn_fast_variance=True buys it back; eval is unaffected).
-    fast_variance: bool = False
+    # batch-variance mode (see nn/norm.py): 'stable' = two-pass (torch
+    # semantics, partition-invariant; default), 'fast' = flax one-pass
+    # E[x^2]-E[x]^2 (7.6% faster train step, cancels catastrophically
+    # when |mean| >> std -- measured 2% partition-dependent loss drift),
+    # 'shifted' = one-pass centred on the running mean (fast-path speed,
+    # benign cancellation once the running mean warms up).
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.he_normal())
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       use_fast_variance=self.fast_variance)
+        norm = make_norm(self.bn_variance, train, self.dtype)
 
         if self.stem == "k3s2":
             x = conv(self.num_filters, (3, 3), (2, 2),
@@ -213,12 +213,12 @@ class ResNetFeatureExtractor(nn.Module):
     feat_dim: int
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
-    fast_variance: bool = False
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResNet50(dtype=self.dtype, stem=self.stem,
-                     fast_variance=self.fast_variance,
+                     bn_variance=self.bn_variance,
                      name="trunk")(x, train=train)
         return nn.Dense(self.feat_dim, name="fc_proj")(x)
 
@@ -231,12 +231,12 @@ class ExtendedResNet18(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
-    fast_variance: bool = False
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ResNet18(dtype=self.dtype, stem=self.stem,
-                        fast_variance=self.fast_variance,
+                        bn_variance=self.bn_variance,
                         name="trunk")(x, train=train)
 
 
@@ -248,12 +248,12 @@ class ExtendedResNet50(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
-    fast_variance: bool = False
+    bn_variance: str = "stable"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ResNet50(dtype=self.dtype, stem=self.stem,
-                        fast_variance=self.fast_variance,
+                        bn_variance=self.bn_variance,
                         name="trunk")(x, train=train)
 
 
@@ -268,15 +268,13 @@ class ResNetMano(nn.Module):
     fc_dim: int
     input_channel: int = 3   # 3 | 24
     dtype: jnp.dtype = jnp.float32
-    fast_variance: bool = False   # see ResNet.fast_variance
+    bn_variance: str = "stable"   # see ResNet.bn_variance
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.he_normal())
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                       use_fast_variance=self.fast_variance)
+        norm = make_norm(self.bn_variance, train, self.dtype)
         if self.input_channel == 24:
             x = conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
                      name="conv11")(x)
