@@ -148,6 +148,39 @@ def bench_e2e(cfg, model, variables):
     return e2e, resident, fwd_flops, model_rate, model_flops
 
 
+def bench_b1_latency(cfg, model, variables):
+    """Single-image serving latency: raw sample -> fused preprocess +
+    flagship forward, p50 over individual (chained) iterations.
+
+    The throughput numbers amortise over b256; this is the other end of
+    the serving envelope (online inference)."""
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset
+
+    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+    raw = jax.device_put(ds.raw_batch([0]))
+
+    @jax.jit
+    def pipe1(raw, carry):
+        raw = raw._replace(keypoint_uv=raw.keypoint_uv + carry * 0.0)
+        sample = preprocess_batch(raw, crop_size=cfg.crop_size)
+        inp = model_input(sample, cfg.input_channels)
+        out = model.apply(variables, inp, sample["camera_intrinsic_matrix"],
+                          sample["keypoint_scale"],
+                          sample["keypoint_xyz_root"], train=False)
+        return jnp.sum(out.coord_xyz_rel_normed)
+
+    carry = pipe1(raw, jnp.zeros(()))
+    _sync(carry)
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        carry = pipe1(raw, carry)
+        _sync(carry)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat)
+
+
 def bench_train_step(cfg, model):
     """Fused production train step: raw batch -> preprocess + fwd + bwd +
     Adam update in ONE program (what Worker runs; 13% over the separate
@@ -232,6 +265,7 @@ def main():
 
     e2e, resident, fwd_flops, model_rate, model_flops = \
         bench_e2e(cfg, model, variables)
+    b1_p50 = bench_b1_latency(cfg, model, variables)
     train_img_s, train_flops = bench_train_step(cfg, model)
     # MFU from device-resident rates: e2e is H2D-transfer-bound through
     # the axon tunnel (~35 MB/s realised at execution time) and would
@@ -267,6 +301,12 @@ def main():
                       f"fwd + bwd + Adam in one program, b{BATCH} bf16, "
                       "stable (partition-invariant) BN variance -- "
                       "bn_fast_variance=True adds ~7.6%",
+        "infer_latency_p50_ms_b1": round(b1_p50, 2),
+        "b1_note": "single-image fused preprocess+forward incl. one host "
+                   "fetch per call -- through the axon tunnel this is "
+                   "dominated by the network round trip (the b256 program "
+                   "computes 256 images in ~20 ms on-chip); PCIe-local "
+                   "serving would see low-single-digit ms",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
         "mfu_model_forward": round(mfu_model_fwd, 4),
         "mfu_fused_forward": round(mfu_fused_fwd, 4),
