@@ -232,14 +232,18 @@ class DiffusionHandPose(nn.Module):
 
     def __call__(self, img, camera_intrinsic_matrix=None,
                  index_root_bone_length=None, keypoint_xyz_root=None,
-                 pose_x0=None, train: bool = False, init_noise=None):
+                 pose_x0=None, train: bool = False, init_noise=None,
+                 diff_t=None, diff_noise=None):
         feat = self.resnet_extractor(img, train)
         sample_now = (not train) or self.cfg.diffusion_sample_in_train
 
         diffusion_loss = None
         if pose_x0 is not None:
+            # diff_t / diff_noise: optional injected loss draws (lockstep
+            # twin-training parity vs the executed torch reference)
             diffusion_loss = self.diff_model(
-                pose_x0, feat, self.make_rng("diffusion"))
+                pose_x0, feat, self.make_rng("diffusion"),
+                t=diff_t, noise=diff_noise)
 
         if not sample_now:
             return ModelOutput(diffusion_loss=diffusion_loss)

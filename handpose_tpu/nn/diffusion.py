@@ -424,14 +424,22 @@ class GaussianDiffusion1D:
         loss = loss * self.sched.loss_weight[t]
         return jnp.mean(loss)
 
-    def loss(self, denoise_fn, x0, condition, rng):
+    def loss(self, denoise_fn, x0, condition, rng, t=None, noise=None):
         """Training objective; x0 is in data space ([0,1]-ish like the
-        reference normalise contract).  (conditionalDiffusion.py:781-798)."""
+        reference normalise contract).  (conditionalDiffusion.py:781-798)
+
+        ``t`` / ``noise`` optionally inject the timestep draw and the
+        q_sample noise (noise in NORMALISED space, drawn after the
+        reference normalises at conditionalDiffusion.py:797) instead of
+        drawing from ``rng`` -- the lockstep twin-training parity harness
+        feeds both frameworks identical draws through these."""
         B = x0.shape[0]
         t_rng, n_rng = jax.random.split(rng)
-        t = jax.random.randint(t_rng, (B,), 0, self.num_timesteps)
+        if t is None:
+            t = jax.random.randint(t_rng, (B,), 0, self.num_timesteps)
         x0 = self.normalize(x0)
-        noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+        if noise is None:
+            noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
         return self.p_losses(denoise_fn, x0, t, noise, condition)
 
     # -- sampling ------------------------------------------------------------
@@ -525,10 +533,17 @@ class DiffusionJointEstimation(nn.Module):
     def _denoise(self, x, t, condition):
         return self.unet(x, t, condition)
 
-    def __call__(self, x0, condition, rng):
-        """Training loss; x0: (B, 1, 63) like the reference pose_x0."""
+    def __call__(self, x0, condition, rng, t=None, noise=None):
+        """Training loss; x0: (B, 1, 63) like the reference pose_x0.
+
+        ``t`` (B,) int and ``noise`` (B, 1, 63) in the reference's torch
+        layout optionally inject the loss's random draws (twin-training
+        parity); ``noise`` is in normalised space."""
         x0 = jnp.swapaxes(x0, 1, 2)               # (B, 63, 1) channels-last
-        return self.diffusion.loss(self._denoise, x0, condition, rng)
+        if noise is not None:
+            noise = jnp.swapaxes(jnp.asarray(noise), 1, 2)
+        return self.diffusion.loss(self._denoise, x0, condition, rng,
+                                   t=t, noise=noise)
 
     def sample(self, condition, rng, init_noise=None):
         """``init_noise``: optional (B, 1, 63) x_T in the reference's torch

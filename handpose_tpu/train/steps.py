@@ -34,7 +34,13 @@ def _forward(model_apply, params, batch_stats, batch, cfg: Config,
     B = inp.shape[0]
     pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(B, 1, -1)
     variables = {"params": params, "batch_stats": batch_stats}
-    kwargs = dict(train=train, rngs={"diffusion": rng})
+    # batch keys prefixed ``_inject_`` become model kwargs: the parity
+    # injection surface (e.g. _inject_init_noise / _inject_diff_t /
+    # _inject_diff_noise pin M5's stochastic draws for lockstep
+    # twin-training vs the torch reference; also deterministic serving)
+    inject = {k[len("_inject_"):]: v for k, v in batch.items()
+              if k.startswith("_inject_")}
+    kwargs = dict(train=train, rngs={"diffusion": rng}, **inject)
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
             batch["keypoint_xyz_root"], pose_x0)
     if train:

@@ -127,6 +127,40 @@ def transfer_flagship(tm):
             {"PosePrior_net": pp_s, "ViewPoint_net": vp_s})
 
 
+def transfer_resnet50mano(tm):
+    """torch Resnet50MANO3DHandPose -> flax (params, batch_stats) trees.
+    Shared by the forward-parity test and tools/twin_train_parity.py."""
+    sd = {k: v.numpy() for k, v in tm.mano_model
+          .extended_resnet50_extractor.feature_extractor
+          .state_dict().items()}
+    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3],
+                                          block="bottleneck",
+                                          skip_stem=False)
+    params = {"extended_resnet50_extractor": {"trunk": trunk_p},
+              "mlp": _seq_to_mlp(tm.mano_model.mlp)}
+    stats = {"extended_resnet50_extractor": {"trunk": trunk_s}}
+    return params, stats
+
+
+def transfer_diffusionhandpose(tm):
+    """torch DiffusionHandPose -> flax (params, batch_stats) trees.
+    Shared by the forward-parity test and tools/twin_train_parity.py."""
+    from test_diffusion_parity import build_unet_params
+
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "diff_model": {"unet": build_unet_params(
+            tm.diff_model.Unet1D_Model)},
+        "bone_angle_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_angle_pred_model.mlp1),
+            "mlp2": _seq_to_mlp(tm.bone_angle_pred_model.mlp2)},
+        "bone_length_pred_model": {
+            "mlp1": _seq_to_mlp(tm.bone_length_pred_model.mlp1)},
+    }
+    return params, {"resnet_extractor": ext_s}
+
+
 def transfer_mano3dhandpose(tm):
     """torch MANO3DHandPose -> flax (params, batch_stats) trees.  Shared
     with tools/twin_train_parity.py."""
@@ -461,19 +495,7 @@ def test_diffusionhandpose_transfer_parity():
         jnp.asarray(img), jnp.asarray(K), jnp.asarray(scale),
         jnp.asarray(root), train=False)
 
-    from test_diffusion_parity import build_unet_params
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {
-        "resnet_extractor": ext_p,
-        "diff_model": {"unet": build_unet_params(
-            tm.diff_model.Unet1D_Model)},
-        "bone_angle_pred_model": {
-            "mlp1": _seq_to_mlp(tm.bone_angle_pred_model.mlp1),
-            "mlp2": _seq_to_mlp(tm.bone_angle_pred_model.mlp2)},
-        "bone_length_pred_model": {
-            "mlp1": _seq_to_mlp(tm.bone_length_pred_model.mlp1)},
-    }
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_diffusionhandpose(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
@@ -597,15 +619,7 @@ def test_resnet50mano3dhandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    sd = {k: v.numpy() for k, v in tm.mano_model
-          .extended_resnet50_extractor.feature_extractor
-          .state_dict().items()}
-    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3],
-                                          block="bottleneck",
-                                          skip_stem=False)
-    params = {"extended_resnet50_extractor": {"trunk": trunk_p},
-              "mlp": _seq_to_mlp(tm.mano_model.mlp)}
-    stats = {"extended_resnet50_extractor": {"trunk": trunk_s}}
+    params, stats = transfer_resnet50mano(tm)
 
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))

@@ -53,6 +53,17 @@ def test_twin_training_convergence_flagship():
                 batch_size=4, epochs=2, crop=64, seed=0))
 
 
+def test_twin_training_convergence_diffusion():
+    """Diffusion family (DiffusionHandPose): per-step in-forward DDIM
+    sampling + denoiser objective.  The stochastic draws (x_T, t, noise)
+    are captured from the torch reference by seed replay and injected
+    into the JAX step (the ``_inject_*`` batch surface), making the twin
+    run lockstep despite the sampler; T=20/10 as in the transfer-parity
+    test."""
+    _check(_run("DiffusionHandPose", n_train=200, n_val=48, batch_size=4,
+                epochs=2, crop=64, feat_dim=128, seed=0))
+
+
 def test_twin_training_convergence_mano():
     """MANO family (MANO3DHandPose): theta/beta heads through
     Rodrigues + LBS."""
@@ -61,3 +72,15 @@ def test_twin_training_convergence_mano():
         pytest.skip("MANO asset not available")
     _check(_run("MANO3DHandPose", n_train=200, n_val=48, batch_size=4,
                 epochs=2, crop=64, feat_dim=128, seed=0))
+
+
+def test_twin_training_convergence_mask_loss():
+    """Resnet50MANO family (M8): the only hand-mask + theta/beta
+    regularization loss path (reference trainval.py:106-110) -- its
+    integer-gather mask sampling and norm regularizer were previously
+    pinned only statically."""
+    if not os.path.exists("/root/reference/config/mano/models/"
+                          "MANO_RIGHT.pkl"):
+        pytest.skip("MANO asset not available")
+    _check(_run("Resnet50MANO3DHandPose", n_train=200, n_val=48,
+                batch_size=4, epochs=2, crop=64, seed=0))

@@ -112,6 +112,49 @@ def build_pair(model_name: str, feat_dim: int):
         params, stats = xfer.transfer_mano3dhandpose(tm)
         model = build_model(cfg, mano=load_mano(mano_pkl))
         return tm, model, params, stats, cfg
+    elif model_name == "Resnet50MANO3DHandPose":
+        # the only model with the hand-mask + regularization loss path
+        # (reference trainval.py:106-110) -- the last loss family without
+        # training-dynamics evidence
+        mano_pkl = os.path.join(REF, "config", "mano", "models",
+                                "MANO_RIGHT.pkl")
+        if not os.path.exists(mano_pkl):
+            raise SystemExit("MANO asset not available at " + mano_pkl)
+        xfer._ref_config(input_channels=3, keypoint_num=21, mano_pose_num=10,
+                         network_regress_uv=False, joint_order_switched=True,
+                         is_inference=False, mano_right_hand_path=mano_pkl)
+        from network.Resnet50MANO3DHandPose import (
+            Resnet50MANO3DHandPose as TorchModel)
+
+        torch.manual_seed(4)
+        tm = TorchModel(device="cpu", mano_right_hand_path=mano_pkl)
+        from handpose_tpu.nn.mano import load_mano
+
+        cfg = Config(model_name="Resnet50MANO3DHandPose", input_channels=3,
+                     compute_dtype="float32", mano_pose_num=10,
+                     network_regress_uv=False, joint_order_switched=True)
+        params, stats = xfer.transfer_resnet50mano(tm)
+        model = build_model(cfg, mano=load_mano(mano_pkl))
+        return tm, model, params, stats, cfg
+    elif model_name == "DiffusionHandPose":
+        # small T (20/10 as in the transfer-parity test) keeps the
+        # in-forward DDIM loop affordable on CPU while still exercising
+        # the DDIM branch (sampling < T) every training step
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         condition_feat_dim=64, joint_order_switched=True,
+                         is_inference=False, other_joint_angles_num=23,
+                         bone_length_num=20, num_timesteps=20,
+                         num_sampling_timesteps=10, batch_size=8)
+        from network.DiffusionHandPose import DiffusionHandPose as TorchModel
+
+        torch.manual_seed(3)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="DiffusionHandPose", input_channels=3,
+                     resnet_out_feature_dim=feat_dim, condition_feat_dim=64,
+                     compute_dtype="float32", joint_order_switched=True,
+                     num_timesteps=20, num_sampling_timesteps=10)
+        params, stats = xfer.transfer_diffusionhandpose(tm)
     elif model_name == "Hand3DPosePriorNetwork":
         xfer._ref_config(input_channels=21, keypoint_num=21,
                          is_inference=False, joint_order_switched=True)
@@ -128,6 +171,28 @@ def build_pair(model_name: str, feat_dim: int):
         raise SystemExit(f"unsupported twin model {model_name!r}")
     model = build_model(cfg)
     return tm, model, params, stats, cfg
+
+
+def m5_draws(s: int, B: int, n_T: int, n_samp: int):
+    """Replay-capture the torch reference's per-forward RNG draws for
+    DiffusionHandPose so the identical values can be injected into the
+    JAX step.  Draw order inside the reference training forward
+    (DiffusionHandPose.py:44-52): ddim_sample first -- x_T
+    (conditionalDiffusion.py:683) then one per-step noise for every
+    time_next >= 0 pair, i.e. n_samp-1 draws (:703; the final pair hits
+    time_next < 0 and `continue`s before drawing) -- then the loss's
+    t = randint (:795) and q_sample noise = randn (:754).  With eta=0 the
+    per-step noises are multiplied by sigma=0, so only x_T, t and the
+    loss noise shape the outcome."""
+    import torch
+
+    torch.manual_seed(s)
+    x_T = torch.randn(B, 1, 63)
+    for _ in range(n_samp - 1):
+        torch.randn(B, 1, 63)
+    t = torch.randint(0, n_T, (B,))
+    noise = torch.randn(B, 1, 63)
+    return (x_T.numpy(), t.numpy().astype(np.int32), noise.numpy())
 
 
 def torch_inputs(batch, cfg):
@@ -187,6 +252,7 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     tm, model, params, stats, cfg = build_pair(model_name, feat_dim)
     cfg = cfg.replace(max_epoch=epochs)
     trainer_b = model_name in ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
+    m5 = model_name == "DiffusionHandPose"
 
     # --- torch side: reference recipe --------------------------------
     sys.path.insert(0, REF)
@@ -195,7 +261,10 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     opt = torch.optim.Adam(tm.parameters(), lr=1e-4)
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs,
                                                        eta_min=1e-5)
-    crit = RefLoss(device="cpu", comp_xyz_loss=True)
+    gates = cfg.loss_gates
+    crit = RefLoss(device="cpu", comp_xyz_loss=True,
+                   comp_hand_mask_loss=gates["hand_mask"],
+                   comp_regularization_loss=gates["regularization"])
 
     def torch_loss(batch):
         inp, K, scale, root, pose_x0 = torch_inputs(batch, cfg)
@@ -207,16 +276,32 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
             l_rot = torch.mean(torch.square(
                 rot - torch.tensor(batch["rot_mat"])))
             return l_xyz + l_rot, can
-        (xyz, uv, _), _, _ = tm(inp, K, scale, root, pose_x0)
-        l_xyz, *_ = crit(xyz, torch.tensor(batch["keypoint_xyz21"]),
-                         None, None, vis)
-        return l_xyz, xyz
+        (xyz, uv, *_), diff_loss, tb = tm(inp, K, scale, root, pose_x0)
+        theta, beta = (tb if tb is not None else (None, None))
+        l_xyz, _, _, l_mask, l_reg = crit(
+            xyz, torch.tensor(batch["keypoint_xyz21"]), uv,
+            torch.tensor(batch["keypoint_uv21"]), vis,
+            hand_mask=torch.tensor(batch["right_hand_mask"]),
+            theta=theta, beta=beta)
+        total = l_xyz
+        if m5:
+            # reference M5 gates: xyz + diffusion (trainval.py:85-88)
+            total = total + diff_loss
+        if l_mask is not None:          # M8 gates (trainval.py:106-110)
+            total = total + l_mask
+        if l_reg is not None:
+            total = total + l_reg
+        return total, xyz
 
     def torch_val_mpjpe():
         tm.eval()
         s, c = 0.0, 0.0
         with torch.no_grad():
-            for batch in val_batches:
+            for i, batch in enumerate(val_batches):
+                if m5:
+                    # pin the eval-time x_T draw; same seed is replayed
+                    # for the JAX side's injected init_noise below
+                    torch.manual_seed(seed * 7919 + i)
                 _, pred = torch_loss(batch)
                 gt = torch.tensor(batch["kp_coord_xyz21_rel_can"]
                                   if trainer_b else batch["keypoint_xyz21"])
@@ -237,7 +322,12 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
 
     def jax_val_mpjpe(state):
         s, c = 0.0, 0.0
-        for batch in val_batches:
+        for i, batch in enumerate(val_batches):
+            if m5:
+                x_T, _, _ = m5_draws(seed * 7919 + i, batch_size,
+                                     cfg.num_timesteps,
+                                     cfg.num_sampling_timesteps)
+                batch = {**batch, "_inject_init_noise": x_T}
             m = eval_step(state, batch, jax.random.PRNGKey(0))
             s += float(m["mpjpe_sum"])
             c += float(m["mpjpe_count"])
@@ -246,9 +336,23 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     torch_losses, jax_losses = [], []
     torch_vals, jax_vals = [], []
     rng = jax.random.PRNGKey(7)
+    gstep = 0
     for epoch in range(epochs):
         tm.train()
         for batch in train_batches[epoch]:
+            jbatch = batch
+            if m5:
+                # lockstep stochasticity: capture the torch draws for
+                # this step by seed replay, re-seed, run torch, and
+                # inject the identical (x_T, t, noise) into the JAX step
+                s = seed * 1000003 + gstep * 9176 + 7
+                x_T, t_draw, n_draw = m5_draws(
+                    s, batch_size, cfg.num_timesteps,
+                    cfg.num_sampling_timesteps)
+                torch.manual_seed(s)
+                jbatch = {**batch, "_inject_init_noise": x_T,
+                          "_inject_diff_t": t_draw,
+                          "_inject_diff_noise": n_draw}
             opt.zero_grad()
             tl, _ = torch_loss(batch)
             tl.backward()
@@ -256,8 +360,9 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
             torch_losses.append(float(tl.detach()))
 
             rng, srng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, srng)
+            state, metrics = train_step(state, jbatch, srng)
             jax_losses.append(float(metrics["loss"]))
+            gstep += 1
         sched.step()
         torch_vals.append(torch_val_mpjpe())
         jax_vals.append(jax_val_mpjpe(state))
@@ -294,7 +399,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="ThreeDimHandPose",
                    choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork",
-                            "MANO3DHandPose"])
+                            "MANO3DHandPose", "DiffusionHandPose",
+                            "Resnet50MANO3DHandPose"])
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n-train", type=int, default=200)
     p.add_argument("--n-val", type=int, default=48)
