@@ -127,6 +127,29 @@ def transfer_flagship(tm):
             {"PosePrior_net": pp_s, "ViewPoint_net": vp_s})
 
 
+def transfer_twodimhandpose(tm):
+    """torch TwoDimHandPose -> flax (params, batch_stats) trees.  Shared
+    by the forward-parity test and tools/twin_train_parity.py."""
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {"resnet_extractor": ext_p,
+              "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate)}
+    return params, {"resnet_extractor": ext_s}
+
+
+def transfer_twodimhandposewithfk(tm):
+    """torch TwoDimHandPoseWithFK -> flax (params, batch_stats) trees.
+    Shared by the forward-parity test and tools/twin_train_parity.py."""
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate),
+        "boneAngle": {"mlp1": _seq_to_mlp(tm.boneAngle.mlp1),
+                      "mlp2": _seq_to_mlp(tm.boneAngle.mlp2)},
+        "bonelength": {"mlp1": _seq_to_mlp(tm.bonelength.mlp1)},
+    }
+    return params, {"resnet_extractor": ext_s}
+
+
 def transfer_resnet50mano(tm):
     """torch Resnet50MANO3DHandPose -> flax (params, batch_stats) trees.
     Shared by the forward-parity test and tools/twin_train_parity.py."""
@@ -140,6 +163,27 @@ def transfer_resnet50mano(tm):
               "mlp": _seq_to_mlp(tm.mano_model.mlp)}
     stats = {"extended_resnet50_extractor": {"trunk": trunk_s}}
     return params, stats
+
+
+def transfer_threehandshapeandpose(tm):
+    """torch ThreeHandShapeAndPoseMANO -> flax (params, batch_stats)
+    trees.  Shared by the forward-parity test and
+    tools/twin_train_parity.py.
+
+    The hand-rolled boukhayma net uses torchvision param naming
+    (layerX.Y.convZ / downsample), so the standard converter ports
+    layers1-4 + fc; the dual stem (conv1 3ch / conv11 24ch) is mapped by
+    its torch name -- only the traced stem exists in the flax tree."""
+    sd = {k: v.numpy() for k, v in tm.resnet_Mano.state_dict().items()
+          if not k.startswith("mano_layer")}
+    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3], block="basic",
+                                          skip_stem=True)
+    trunk_p["conv1"] = {"kernel": np.transpose(sd["conv1.weight"],
+                                               (2, 3, 1, 0))}
+    trunk_p["bn1"] = {"scale": sd["bn1.weight"], "bias": sd["bn1.bias"]}
+    trunk_s["bn1"] = {"mean": sd["bn1.running_mean"],
+                      "var": sd["bn1.running_var"]}
+    return {"resnet_Mano": trunk_p}, {"resnet_Mano": trunk_s}
 
 
 def transfer_diffusionhandpose(tm):
@@ -338,15 +382,7 @@ def test_twodimhandposewithfk_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {
-        "resnet_extractor": ext_p,
-        "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate),
-        "boneAngle": {"mlp1": _seq_to_mlp(tm.boneAngle.mlp1),
-                      "mlp2": _seq_to_mlp(tm.boneAngle.mlp2)},
-        "bonelength": {"mlp1": _seq_to_mlp(tm.bonelength.mlp1)},
-    }
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_twodimhandposewithfk(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
@@ -554,21 +590,7 @@ def test_threehandshapeandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    # the hand-rolled boukhayma net uses torchvision param naming
-    # (layerX.Y.convZ / downsample), so the standard converter ports
-    # layers1-4 + fc; the dual stem (conv1 3ch / conv11 24ch) is mapped by
-    # its torch name -- only the traced stem exists in the flax tree.
-    sd = {k: v.numpy() for k, v in tm.resnet_Mano.state_dict().items()
-          if not k.startswith("mano_layer")}
-    trunk_p, trunk_s = convert_state_dict(sd, [3, 4, 6, 3], block="basic",
-                                          skip_stem=True)
-    trunk_p["conv1"] = {"kernel": np.transpose(sd["conv1.weight"],
-                                               (2, 3, 1, 0))}
-    trunk_p["bn1"] = {"scale": sd["bn1.weight"], "bias": sd["bn1.bias"]}
-    trunk_s["bn1"] = {"mean": sd["bn1.running_mean"],
-                      "var": sd["bn1.running_var"]}
-    params = {"resnet_Mano": trunk_p}
-    stats = {"resnet_Mano": trunk_s}
+    params, stats = transfer_threehandshapeandpose(tm)
 
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
@@ -669,10 +691,7 @@ def test_twodimhandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {"resnet_extractor": ext_p,
-              "twoDimPoseEstimate": _seq_to_mlp(tm.twoDimPoseEstimate)}
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_twodimhandpose(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
