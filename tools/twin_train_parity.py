@@ -136,6 +136,72 @@ def build_pair(model_name: str, feat_dim: int):
         params, stats = xfer.transfer_resnet50mano(tm)
         model = build_model(cfg, mano=load_mano(mano_pkl))
         return tm, model, params, stats, cfg
+    elif model_name == "ThreeHandShapeAndPoseMANO":
+        # boukhayma family (M7): dual-stem hand-rolled ResNet-34 trunk
+        # with the AvgPool2d(7) top-left-window quirk -> MANO; xyz-only
+        # loss (reference trainval.py:100-104).  Needs crop >= 224 so
+        # the final feature map is >= 7x7 for the pool window.
+        mano_pkl = os.path.join(REF, "config", "mano", "models",
+                                "MANO_RIGHT.pkl")
+        if not os.path.exists(mano_pkl):
+            raise SystemExit("MANO asset not available at " + mano_pkl)
+        xfer._ref_config(input_channels=3, keypoint_num=21, mano_pose_num=10,
+                         network_regress_uv=False, joint_order_switched=True,
+                         is_inference=False, mano_right_hand_path=mano_pkl)
+        from network.ThreeHandShapeAndPoseMANO import (
+            ThreeHandShapeAndPoseMANO as TorchModel)
+
+        torch.manual_seed(7)
+        tm = TorchModel(device="cpu", mano_right_hand_path=mano_pkl)
+        from handpose_tpu.nn.mano import load_mano
+
+        cfg = Config(model_name="ThreeHandShapeAndPoseMANO",
+                     input_channels=3, compute_dtype="float32",
+                     mano_pose_num=10, network_regress_uv=False,
+                     joint_order_switched=True)
+        params, stats = xfer.transfer_threehandshapeandpose(tm)
+        model = build_model(cfg, mano=load_mano(mano_pkl))
+        return tm, model, params, stats, cfg
+    elif model_name == "TwoDimHandPose":
+        # uv-only family: the uv/1e5 loss is the ONLY training signal and
+        # validation MPJPE is measured in uv space (reference
+        # trainval.py:78-80, inference.py:206-210)
+        refcfg = xfer._ref_config(input_channels=3, keypoint_num=21,
+                                  resnet_out_feature_dim=feat_dim,
+                                  is_inference=False,
+                                  joint_order_switched=True)
+        refcfg.eypoint_num = 21   # reference typo (TwoDimHandPose.py:30):
+        #                           set so the original code constructs
+        from network.TwoDimHandPose import TwoDimHandPose as TorchModel
+
+        torch.manual_seed(5)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="TwoDimHandPose", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", joint_order_switched=True)
+        params, stats = xfer.transfer_twodimhandpose(tm)
+    elif model_name == "TwoDimHandPoseWithFK":
+        # the uv-loss family: exercises the uv/1e5 aggregation scaling
+        # (reference trainval.py:346) and the uv_from_xD blend.  NB the
+        # reference trainer cannot run this model as written (its forward
+        # returns a 2-tuple, trainval.py:309 unpacks 3 -- documented
+        # bit-rot); the torch MODEL executes verbatim here and only this
+        # harness adapts the unpack, as the transfer-parity test does.
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         joint_order_switched=True, is_inference=False,
+                         other_joint_angles_num=23, bone_length_num=20,
+                         uv_from_xD=2.5)
+        from network.TwoDimHandPoseWithFK import (
+            TwoDimHandPoseWithFK as TorchModel)
+
+        torch.manual_seed(6)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="TwoDimHandPoseWithFK", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", joint_order_switched=True,
+                     uv_from_xd=2.5)
+        params, stats = xfer.transfer_twodimhandposewithfk(tm)
     elif model_name == "DiffusionHandPose":
         # small T (20/10 as in the transfer-parity test) keeps the
         # in-forward DDIM loop affordable on CPU while still exercising
@@ -213,8 +279,17 @@ def torch_inputs(batch, cfg):
 def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
              batch_size: int = 8, epochs: int = 4, crop: int = 64,
              sigma: float = 6.25, feat_dim: int = 256, seed: int = 0,
-             data_root: str | None = None) -> dict:
-    """Train both frameworks in lockstep; return the trajectories."""
+             data_root: str | None = None, shadow: bool = False) -> dict:
+    """Train both frameworks in lockstep; return the trajectories.
+
+    With ``shadow=True`` the JAX loop runs a second time from an init
+    perturbed by 1 part in 1e6 (rademacher signs), measuring the
+    training loop's OWN sensitivity to rounding-scale differences.  For
+    chaotic loss surfaces (the uv-projection families) torch-vs-JAX
+    divergence at 100 steps is dominated by Lyapunov amplification of
+    per-op float32 rounding, and the shadow divergence is the honest
+    yardstick: a semantic bug shows up as torch-vs-JAX >> shadow, while
+    chaos shows up as torch-vs-JAX ~ shadow."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -253,6 +328,8 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     cfg = cfg.replace(max_epoch=epochs)
     trainer_b = model_name in ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
     m5 = model_name == "DiffusionHandPose"
+    m2 = model_name == "TwoDimHandPoseWithFK"
+    m1 = model_name == "TwoDimHandPose"
 
     # --- torch side: reference recipe --------------------------------
     sys.path.insert(0, REF)
@@ -262,7 +339,8 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs,
                                                        eta_min=1e-5)
     gates = cfg.loss_gates
-    crit = RefLoss(device="cpu", comp_xyz_loss=True,
+    crit = RefLoss(device="cpu", comp_xyz_loss=gates["xyz"],
+                   comp_uv_loss=gates["uv"],
                    comp_hand_mask_loss=gates["hand_mask"],
                    comp_regularization_loss=gates["regularization"])
 
@@ -276,14 +354,22 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
             l_rot = torch.mean(torch.square(
                 rot - torch.tensor(batch["rot_mat"])))
             return l_xyz + l_rot, can
-        (xyz, uv, *_), diff_loss, tb = tm(inp, K, scale, root, pose_x0)
+        if m2:
+            # the reference M2 forward returns a 2-tuple (bit-rot,
+            # TwoDimHandPoseWithFK.py:84); adapt the unpack only
+            (xyz, uv, *_), diff_loss = tm(inp, K, scale, root, pose_x0)
+            tb = None
+        else:
+            (xyz, uv, *_), diff_loss, tb = tm(inp, K, scale, root, pose_x0)
         theta, beta = (tb if tb is not None else (None, None))
-        l_xyz, _, _, l_mask, l_reg = crit(
+        l_xyz, l_uv, _, l_mask, l_reg = crit(
             xyz, torch.tensor(batch["keypoint_xyz21"]), uv,
             torch.tensor(batch["keypoint_uv21"]), vis,
             hand_mask=torch.tensor(batch["right_hand_mask"]),
             theta=theta, beta=beta)
-        total = l_xyz
+        total = l_xyz if l_xyz is not None else torch.zeros(())
+        if l_uv is not None:            # uv/1e5 scaling (trainval.py:346)
+            total = total + l_uv / 1e5
         if m5:
             # reference M5 gates: xyz + diffusion (trainval.py:85-88)
             total = total + diff_loss
@@ -291,7 +377,7 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
             total = total + l_mask
         if l_reg is not None:
             total = total + l_reg
-        return total, xyz
+        return total, (uv if m1 else xyz)
 
     def torch_val_mpjpe():
         tm.eval()
@@ -303,8 +389,10 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
                     # for the JAX side's injected init_noise below
                     torch.manual_seed(seed * 7919 + i)
                 _, pred = torch_loss(batch)
-                gt = torch.tensor(batch["kp_coord_xyz21_rel_can"]
-                                  if trainer_b else batch["keypoint_xyz21"])
+                gt = torch.tensor(
+                    batch["kp_coord_xyz21_rel_can"] if trainer_b
+                    else batch["keypoint_uv21"] if m1
+                    else batch["keypoint_xyz21"])
                 dist = torch.sqrt(torch.sum((pred - gt) ** 2, dim=2))
                 v = torch.tensor(batch["keypoint_vis21"]).reshape(dist.shape)
                 s += float(torch.sum(dist * v)) * 1000.0
@@ -312,11 +400,24 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
         return s / c
 
     # --- jax side: production step programs --------------------------
+    # DEEP-COPY the transferred trees: the transfer helpers return
+    # ``tensor.numpy()`` VIEWS of torch storage, and contiguous 1-D
+    # leaves (biases, BN scales/means) zero-copy through jnp.asarray on
+    # the CPU backend -- without the copy, the torch ``opt.step()`` that
+    # runs before each JAX step would silently mutate the JAX side's
+    # initial params (caught via the chaotic M2 uv term, which amplified
+    # the one-step offset 20x)
+    deep = lambda tree: jax.tree.map(lambda x: jnp.array(np.array(x)), tree)
     tx = make_optimizer(1e-4, 1e-5, epochs, steps_per_epoch)
     state = TrainState.create(
         apply_fn=model.apply,
-        params=jax.tree.map(jnp.asarray, params), tx=tx,
-        batch_stats=jax.tree.map(jnp.asarray, stats))
+        params=deep(params), tx=tx,
+        batch_stats=deep(stats))
+    if shadow:
+        # snapshot the pristine init NOW: the torch loop below mutates
+        # the transfer views in-place, and the primary JAX loop donates
+        # (deletes) the first state's buffers
+        params0, stats0 = deep(params), deep(stats)
     train_step = make_train_step(model, cfg)
     eval_step = make_eval_step(model, cfg)
 
@@ -333,42 +434,55 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
             c += float(m["mpjpe_count"])
         return s / c
 
-    torch_losses, jax_losses = [], []
-    torch_vals, jax_vals = [], []
-    rng = jax.random.PRNGKey(7)
+    # --- torch loop (fully independent of the JAX loop) --------------
+    torch_losses, torch_vals = [], []
     gstep = 0
     for epoch in range(epochs):
         tm.train()
         for batch in train_batches[epoch]:
-            jbatch = batch
             if m5:
-                # lockstep stochasticity: capture the torch draws for
-                # this step by seed replay, re-seed, run torch, and
-                # inject the identical (x_T, t, noise) into the JAX step
-                s = seed * 1000003 + gstep * 9176 + 7
-                x_T, t_draw, n_draw = m5_draws(
-                    s, batch_size, cfg.num_timesteps,
-                    cfg.num_sampling_timesteps)
-                torch.manual_seed(s)
-                jbatch = {**batch, "_inject_init_noise": x_T,
-                          "_inject_diff_t": t_draw,
-                          "_inject_diff_noise": n_draw}
+                # the torch forward draws its own (x_T, per-step, t,
+                # noise); re-seed so the SAME values can be replayed for
+                # injection into the JAX step below
+                torch.manual_seed(seed * 1000003 + gstep * 9176 + 7)
             opt.zero_grad()
             tl, _ = torch_loss(batch)
             tl.backward()
             opt.step()
             torch_losses.append(float(tl.detach()))
-
-            rng, srng = jax.random.split(rng)
-            state, metrics = train_step(state, jbatch, srng)
-            jax_losses.append(float(metrics["loss"]))
             gstep += 1
         sched.step()
         torch_vals.append(torch_val_mpjpe())
-        jax_vals.append(jax_val_mpjpe(state))
 
-    t_l, j_l = np.asarray(torch_losses), np.asarray(jax_losses)
-    t_v, j_v = np.asarray(torch_vals), np.asarray(jax_vals)
+    # --- JAX loop (same batches, same order; replayed torch draws) ---
+    def jax_loop(state):
+        losses, vals = [], []
+        rng = jax.random.PRNGKey(7)
+        gstep = 0
+        for epoch in range(epochs):
+            for batch in train_batches[epoch]:
+                jbatch = batch
+                if m5:
+                    x_T, t_draw, n_draw = m5_draws(
+                        seed * 1000003 + gstep * 9176 + 7, batch_size,
+                        cfg.num_timesteps, cfg.num_sampling_timesteps)
+                    jbatch = {**batch, "_inject_init_noise": x_T,
+                              "_inject_diff_t": t_draw,
+                              "_inject_diff_noise": n_draw}
+                rng, srng = jax.random.split(rng)
+                state, metrics = train_step(state, jbatch, srng)
+                losses.append(float(metrics["loss"]))
+                gstep += 1
+            vals.append(jax_val_mpjpe(state))
+        return np.asarray(losses), np.asarray(vals)
+
+    j_l, j_v = jax_loop(state)
+
+    def rel(a, b):
+        """elementwise |a-b|/|a| with a zero guard."""
+        return np.abs(a - b) / np.maximum(np.abs(a), 1e-8)
+
+    t_l, t_v = np.asarray(torch_losses), np.asarray(torch_vals)
     res = {
         "model": model_name,
         "steps": len(torch_losses),
@@ -377,11 +491,48 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
         "jax_losses": j_l.round(6).tolist(),
         "torch_val_mpjpe": t_v.round(5).tolist(),
         "jax_val_mpjpe": j_v.round(5).tolist(),
-        "final_val_rel_diff": float(abs(t_v[-1] - j_v[-1]) / t_v[-1]),
-        "max_epoch_val_rel_diff": float(np.max(np.abs(t_v - j_v) / t_v)),
-        "mean_loss_rel_diff": float(np.mean(np.abs(t_l - j_l) /
-                                            np.maximum(np.abs(t_l), 1e-8))),
+        "final_val_rel_diff": float(rel(t_v, j_v)[-1]),
+        "max_epoch_val_rel_diff": float(np.max(rel(t_v, j_v))),
+        "mean_loss_rel_diff": float(np.mean(rel(t_l, j_l))),
+        # robust companion for discontinuous losses: M8's hand-mask term
+        # is an integer-gather coverage ratio (reference loss.py:92-111)
+        # that steps by O(1/GT_N) when a single uv cell flips and crosses
+        # zero, so per-step RELATIVE diffs are unbounded even when the
+        # trajectories coincide -- the median is the right summary there
+        "median_loss_rel_diff": float(np.median(rel(t_l, j_l))),
+        # early-horizon lockstep, BEFORE chaotic amplification can act:
+        # a semantic divergence is visible from step 1; rounding chaos
+        # needs tens of steps to grow 1e-7-scale differences
+        "early10_loss_rel_diff": float(np.mean(rel(t_l, j_l)[:10])),
+        "early25_loss_rel_diff": float(np.mean(rel(t_l, j_l)[:25])),
     }
+
+    if shadow:
+        # second JAX run from a 1e-6-perturbed init: measures the
+        # loop's intrinsic rounding-chaos amplification on this exact
+        # loss surface / batch schedule
+        key = jax.random.PRNGKey(1234)
+        leaves, treedef = jax.tree.flatten(params0)
+        pleaves = [
+            x * (1.0 + 1e-6 * jax.random.rademacher(
+                jax.random.fold_in(key, i), x.shape).astype(x.dtype))
+            for i, x in enumerate(leaves)]
+        pstate = TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree.unflatten(treedef, pleaves), tx=tx,
+            batch_stats=stats0)
+        s_l, s_v = jax_loop(pstate)
+        res.update({
+            "shadow_jax_losses": s_l.round(6).tolist(),
+            "shadow_jax_val_mpjpe": s_v.round(5).tolist(),
+            "shadow_max_epoch_val_rel_diff": float(np.max(rel(j_v, s_v))),
+            "shadow_mean_loss_rel_diff": float(np.mean(rel(j_l, s_l))),
+            "shadow_median_loss_rel_diff": float(np.median(rel(j_l, s_l))),
+            "shadow_early10_loss_rel_diff": float(np.mean(rel(j_l,
+                                                              s_l)[:10])),
+            "shadow_early25_loss_rel_diff": float(np.mean(rel(j_l,
+                                                              s_l)[:25])),
+        })
     if tmpdir is not None:
         tmpdir.cleanup()
     return res
@@ -400,7 +551,8 @@ def main():
     p.add_argument("--model", default="ThreeDimHandPose",
                    choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork",
                             "MANO3DHandPose", "DiffusionHandPose",
-                            "Resnet50MANO3DHandPose"])
+                            "Resnet50MANO3DHandPose", "TwoDimHandPoseWithFK",
+                            "TwoDimHandPose", "ThreeHandShapeAndPoseMANO"])
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n-train", type=int, default=200)
     p.add_argument("--n-val", type=int, default=48)
@@ -408,10 +560,14 @@ def main():
     p.add_argument("--crop", type=int, default=64)
     p.add_argument("--feat-dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shadow", action="store_true",
+                   help="also run the 1e-6-perturbed JAX shadow twin "
+                        "(chaos yardstick)")
     args = p.parse_args()
     res = run_twin(args.model, n_train=args.n_train, n_val=args.n_val,
                    batch_size=args.batch_size, epochs=args.epochs,
-                   crop=args.crop, feat_dim=args.feat_dim, seed=args.seed)
+                   crop=args.crop, feat_dim=args.feat_dim, seed=args.seed,
+                   shadow=args.shadow)
     print(json.dumps(res))
 
 
