@@ -63,6 +63,18 @@ def main():
                     f"--from_run: no model_best/checkpoint dir under "
                     f"{args.from_run}; pass --ckpt explicitly")
         cfg = cfg.replace(infer_resume_weight_path=ckpt)
+        # dataset flags given explicitly on the command line beat the
+        # rehydrated run config (the run was trained elsewhere; the data
+        # lives here) -- only non-default values count as explicit
+        explicit = {}
+        if args.data_root != p.get_default("data_root"):
+            explicit["dataset_root_dir"] = args.data_root
+        if args.dataset != p.get_default("dataset"):
+            explicit["dataset_name"] = args.dataset
+        if args.batch_size != p.get_default("batch_size"):
+            explicit["infer_batch_size"] = args.batch_size
+        if explicit:
+            cfg = cfg.replace(**explicit)
         cfg = apply_overrides(cfg, args.overrides)
         _evaluate(args, cfg, ckpt)
         return

@@ -136,6 +136,42 @@ def test_evaluator_consumes_partial_batch(tmp_path):
     assert np.isfinite(m)
 
 
+def test_inference_from_run_explicit_flags_win(tmp_path, monkeypatch,
+                                               capsys):
+    """`inference.py --from_run <dir>` rehydrates the run's config, but
+    dataset flags given EXPLICITLY on the command line beat it (a
+    migrated/foreign run's config points at data that lives elsewhere).
+    The run config here names an RHD root that does not exist; --dataset
+    synthetic must win or evaluation dies in FileNotFoundError."""
+    import runpy
+    import sys
+
+    from handpose_tpu.data.rhd import write_synthetic_rhd
+    from handpose_tpu.train import Worker
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 dataset_name="RHD", dataset_root_dir="/nonexistent/rhd",
+                 use_fake_data=True, batch_size=8, infer_batch_size=8,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128,
+                 max_epoch=1, save_log_dir=str(tmp_path))
+    # train on fake data so the run dir has config.json + checkpoint
+    w = Worker(cfg.replace(dataset_name="synthetic"))
+    w.run(fast_debug=True)
+    run_dir = os.path.abspath(w.run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())  # the hostile config: bogus RHD root
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=8, seed=3)
+    monkeypatch.setattr(sys, "argv", [
+        "inference.py", "--from_run", run_dir,
+        "--data_root", str(root), "--batch_size", "4"])
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..",
+                                "inference.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "MPJPE" in out
+
+
 def test_empty_eval_returns_nan():
     """Zero visible joints -> NaN + warning, never 0.0 (a 0.0 would read
     as a perfect MPJPE; same semantics as the trainer's None)."""

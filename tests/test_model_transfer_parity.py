@@ -165,6 +165,31 @@ def transfer_resnet50mano(tm):
     return params, stats
 
 
+def transfer_onlythreedimhandpose(tm):
+    """torch OnlyThreeDimHandPose -> flax (params, batch_stats) trees.
+    Shared by the forward-parity test and the checkpoint converter."""
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {"resnet_extractor": ext_p,
+              "threeDimPoseEstimate": _seq_to_mlp(tm.threeDimPoseEstimate)}
+    return params, {"resnet_extractor": ext_s}
+
+
+def transfer_hand3dposenet(tm):
+    """torch Hand3DPoseNet -> flax (params, batch_stats) trees.  Shared
+    by the forward-parity test and the checkpoint converter."""
+    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
+    params = {
+        "resnet_extractor": ext_p,
+        "pose_predictor": {"mlp": _seq_to_mlp(tm.pose_predictor.mlp)},
+        "view_point_predictor": {
+            "mlp": _seq_to_mlp(tm.view_point_predictor.mlp),
+            "fc_vp_ux": _lin(tm.view_point_predictor.fc_vp_ux),
+            "fc_vp_uy": _lin(tm.view_point_predictor.fc_vp_uy),
+            "fc_vp_uz": _lin(tm.view_point_predictor.fc_vp_uz)},
+    }
+    return params, {"resnet_extractor": ext_s}
+
+
 def transfer_threehandshapeandpose(tm):
     """torch ThreeHandShapeAndPoseMANO -> flax (params, batch_stats)
     trees.  Shared by the forward-parity test and
@@ -422,10 +447,7 @@ def test_onlythreedimhandpose_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {"resnet_extractor": ext_p,
-              "threeDimPoseEstimate": _seq_to_mlp(tm.threeDimPoseEstimate)}
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_onlythreedimhandpose(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
@@ -466,17 +488,7 @@ def test_hand3dposenet_transfer_parity():
                            jnp.asarray(scale), jnp.asarray(root),
                            train=False)
 
-    ext_p, ext_s = _extractor_params(tm.resnet_extractor)
-    params = {
-        "resnet_extractor": ext_p,
-        "pose_predictor": {"mlp": _seq_to_mlp(tm.pose_predictor.mlp)},
-        "view_point_predictor": {
-            "mlp": _seq_to_mlp(tm.view_point_predictor.mlp),
-            "fc_vp_ux": _lin(tm.view_point_predictor.fc_vp_ux),
-            "fc_vp_uy": _lin(tm.view_point_predictor.fc_vp_uy),
-            "fc_vp_uz": _lin(tm.view_point_predictor.fc_vp_uz)},
-    }
-    stats = {"resnet_extractor": ext_s}
+    params, stats = transfer_hand3dposenet(tm)
     ours = jax.tree_util.tree_structure(
         jax.tree.map(np.asarray, variables["params"]))
     theirs = jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))

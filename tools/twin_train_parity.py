@@ -66,10 +66,15 @@ def make_epoch_batches(ds, indices_per_epoch, crop, sigma):
     return out
 
 
-def build_pair(model_name: str, feat_dim: int):
+def build_pair(model_name: str, feat_dim: int,
+               diff_T: int = 20, diff_sampling: int = 10):
     """Construct the torch reference model and the Flax model with the
     torch init transferred (tests/test_model_transfer_parity.py
-    machinery; float32 compute both sides)."""
+    machinery; float32 compute both sides).  ``diff_T``/``diff_sampling``
+    size the DiffusionHandPose schedules: the twin tests keep them small
+    (20/10) so the in-forward DDIM loop stays affordable on CPU; the
+    checkpoint converter passes the reference defaults (400/200) so a
+    real checkpoint's schedule buffers match."""
     import torch
 
     import test_model_transfer_parity as xfer
@@ -210,8 +215,8 @@ def build_pair(model_name: str, feat_dim: int):
                          resnet_out_feature_dim=feat_dim,
                          condition_feat_dim=64, joint_order_switched=True,
                          is_inference=False, other_joint_angles_num=23,
-                         bone_length_num=20, num_timesteps=20,
-                         num_sampling_timesteps=10, batch_size=8)
+                         bone_length_num=20, num_timesteps=diff_T,
+                         num_sampling_timesteps=diff_sampling, batch_size=8)
         from network.DiffusionHandPose import DiffusionHandPose as TorchModel
 
         torch.manual_seed(3)
@@ -219,8 +224,38 @@ def build_pair(model_name: str, feat_dim: int):
         cfg = Config(model_name="DiffusionHandPose", input_channels=3,
                      resnet_out_feature_dim=feat_dim, condition_feat_dim=64,
                      compute_dtype="float32", joint_order_switched=True,
-                     num_timesteps=20, num_sampling_timesteps=10)
+                     num_timesteps=diff_T, num_sampling_timesteps=diff_sampling)
         params, stats = xfer.transfer_diffusionhandpose(tm)
+    elif model_name == "OnlyThreeDimHandPose":
+        # direct-regression family (M4): backbone -> 63-d xyz, no FK.
+        # Not twin-trained (strict subset of M3's path); constructed here
+        # for the checkpoint converter.
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         joint_order_switched=True, is_inference=False)
+        from network.OnlyThreeDimHandPose import (
+            OnlyThreeDimHandPose as TorchModel)
+
+        torch.manual_seed(8)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", joint_order_switched=True)
+        params, stats = xfer.transfer_onlythreedimhandpose(tm)
+    elif model_name == "Hand3DPoseNet":
+        # canonical+viewpoint MLP family (M9): not twin-trained (flagship
+        # with MLP heads); constructed here for the checkpoint converter.
+        xfer._ref_config(input_channels=3, keypoint_num=21,
+                         resnet_out_feature_dim=feat_dim,
+                         joint_order_switched=True, is_inference=False)
+        from network.Hand3DPoseNet import Hand3DPoseNet as TorchModel
+
+        torch.manual_seed(9)
+        tm = TorchModel(device="cpu")
+        cfg = Config(model_name="Hand3DPoseNet", input_channels=3,
+                     resnet_out_feature_dim=feat_dim,
+                     compute_dtype="float32", joint_order_switched=True)
+        params, stats = xfer.transfer_hand3dposenet(tm)
     elif model_name == "Hand3DPosePriorNetwork":
         xfer._ref_config(input_channels=21, keypoint_num=21,
                          is_inference=False, joint_order_switched=True)
