@@ -121,6 +121,36 @@ def test_convert_reference_checkpoint_roundtrip(tmp_path):
     assert j_nu == pytest.approx(t_nu, rel=1e-5)
 
 
+def test_convert_flagship_checkpoint(tmp_path):
+    """Second architecture family through the converter: the flagship
+    (Hand3DPosePriorNetwork, trainer-B, 21-channel scoremap input, twin
+    ResNet-18 trunks).  No optimizer in the .pth.tar -> params/epoch/best
+    carry, optimizer does not."""
+    from convert_reference_checkpoint import convert
+    from twin_train_parity import build_pair
+
+    tm, _, _, _, _ = build_pair("Hand3DPosePriorNetwork", 128)
+    pth = os.path.join(tmp_path, "model_best.pth.tar")
+    torch.save({"epoch": 3, "state_dict": tm.state_dict(),
+                "MPJPE": 77.0}, pth)
+
+    out_dir = os.path.join(tmp_path, "run")
+    res = convert(pth, "Hand3DPosePriorNetwork", out_dir, feat_dim=128)
+    assert res["finetune"] is False
+    assert res["epoch"] == 3
+    assert res["best_mpjpe"] == pytest.approx(77.0)
+    assert res["optimizer_carried"] is False
+    assert res["params_matched"] == res["params_total"]
+
+    from handpose_tpu.config import Config
+
+    with open(os.path.join(out_dir, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    assert cfg.model_name == "Hand3DPosePriorNetwork"
+    assert cfg.input_channels == 21
+    assert os.path.isdir(os.path.join(out_dir, "model_best"))
+
+
 def test_convert_mismatched_checkpoint_is_finetune(tmp_path):
     """A checkpoint whose key set differs (reference strict=False path,
     trainval.py:181-192) must convert as FINETUNE: params that match

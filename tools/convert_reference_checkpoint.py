@@ -91,12 +91,14 @@ def _moments_as_params(tm, transfer, opt_sd, field):
 
 
 def convert(ckpt_path: str, model_name: str, out_dir: str,
-            feat_dim: int = 256, with_optimizer: bool = True) -> dict:
+            feat_dim: int = 256, with_optimizer: bool = True,
+            overrides=None) -> dict:
     """Convert; returns a small summary dict (also printed by main)."""
     import jax
     import jax.numpy as jnp
     import torch
 
+    from handpose_tpu.config import apply_overrides
     from handpose_tpu.train.checkpoints import save_checkpoint
     from handpose_tpu.train.state import TrainState, make_optimizer
     from twin_train_parity import build_pair
@@ -115,6 +117,11 @@ def convert(ckpt_path: str, model_name: str, out_dir: str,
     # so a real checkpoint's schedule buffers shape-match
     tm, model, _, _, cfg = build_pair(model_name, feat_dim,
                                       diff_T=400, diff_sampling=200)
+    # the harness pins compute_dtype=float32 (torch semantics for the
+    # parity runs); apply any user --set overrides (e.g. a TPU serving
+    # run wants compute_dtype=bfloat16) before the config is snapshotted
+    if overrides:
+        cfg = apply_overrides(cfg, list(overrides))
 
     # the reference's own filtered strict=False load + finetune
     # detection (trainval.py:171-192)
@@ -185,13 +192,18 @@ def main():
                          "trained with (reference config.py default 256)")
     ap.add_argument("--no-optimizer", action="store_true",
                     help="skip Adam moment carry-over")
+    ap.add_argument("--set", action="append", metavar="KEY=VALUE",
+                    dest="overrides",
+                    help="override any Config field in the written "
+                         "config.json, e.g. --set compute_dtype=bfloat16")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     res = convert(args.ckpt, args.model, args.out, feat_dim=args.feat_dim,
-                  with_optimizer=not args.no_optimizer)
+                  with_optimizer=not args.no_optimizer,
+                  overrides=args.overrides)
     print(json.dumps(res))
 
 

@@ -45,8 +45,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--from_run", default=None, metavar="RUN_DIR",
                    help="rehydrate the full Config from RUN_DIR/config.json "
-                        "(the provenance snapshot every run writes); other "
-                        "flags except --resume/--set are ignored")
+                        "(the provenance snapshot every run writes); "
+                        "explicitly passed dataset/path flags and "
+                        "--resume/--set/--log_dir still apply on top")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    dest="overrides",
                    help="override any Config field, e.g. --set sigma=10")
@@ -58,6 +59,24 @@ def main():
             cfg = Config.from_json(f.read())
         if args.resume:
             cfg = cfg.replace(resume_weight_path=args.resume)
+        # dataset/path flags given explicitly beat the rehydrated config
+        # (a migrated/foreign run's config points at data that lives
+        # elsewhere) -- only non-default values count as explicit
+        explicit = {}
+        for flag, field in (("data_root", "dataset_root_dir"),
+                            ("dataset", "dataset_name"),
+                            ("batch_size", "batch_size"),
+                            ("max_epoch", "max_epoch"),
+                            ("log_dir", "save_log_dir")):
+            v = getattr(args, flag)
+            if v != p.get_default(flag):
+                explicit[field] = v
+        if args.use_val_to_debug:
+            explicit["use_val_dataset_to_debug"] = True
+        if args.fake_data:
+            explicit["use_fake_data"] = True
+        if explicit:
+            cfg = cfg.replace(**explicit)
         cfg = apply_overrides(cfg, args.overrides)
         worker = Worker(cfg)
         worker.enable_preemption_save()
