@@ -15,10 +15,15 @@ both sides: the reference's cost is dominated by geometry, and this
 framework amortises decode once into a uint8 memmap cache).
 
 Extra keys in the same JSON object:
-  resident_synth_img_per_sec  device-resident repeat batch (round-1 metric)
+  e2e_host_to_infer_img_per_sec  fresh batches: host read + H2D + fused
+                                 preprocess + forward
   train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), bBATCH
+  infer_latency_p50_ms_b1     single-image fused preprocess+forward
   diffusion_ddim_p50_ms       200-step DDIM sample loop, B=8, p50 latency
-  mfu_forward / mfu_train     XLA-counted flops / (time * peak bf16 flops)
+  mfu_model_forward / mfu_fused_forward / mfu_train
+                              XLA-counted flops / (time * peak bf16 flops)
+                              of the model-only, fused-forward, and fused
+                              train-step programs respectively
 
 All timings use chained data dependencies + a final host fetch (the axon
 tunnel's block_until_ready has returned early before; a host fetch of a
@@ -51,6 +56,37 @@ def _sync(x) -> float:
     return float(np.asarray(jnp.sum(x)))
 
 
+def _bench_dataset():
+    """The synthetic RHD bench set, created on first use (any entry
+    point: bench.py itself, tools/bench_bn_modes.py, the profiler)."""
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+
+    anno = os.path.join(BENCH_DATA, "evaluation", "anno_evaluation.pickle")
+    if not os.path.exists(anno):
+        write_synthetic_rhd(BENCH_DATA, "evaluation", N_SAMPLES)
+    return RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+
+
+def make_fused_infer_pipe(cfg, model, variables):
+    """ONE jitted program: device preprocess + model forward, iterations
+    serialised through a scalar carry (shared by the throughput and the
+    b1-latency benches; each batch shape compiles once)."""
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+
+    @jax.jit
+    def pipe(raw, carry):
+        raw = raw._replace(                 # serialise iterations on device
+            keypoint_uv=raw.keypoint_uv + carry * 0.0)
+        sample = preprocess_batch(raw, crop_size=cfg.crop_size)
+        inp = model_input(sample, cfg.input_channels)
+        out = model.apply(variables, inp, sample["camera_intrinsic_matrix"],
+                          sample["keypoint_scale"],
+                          sample["keypoint_xyz_root"], train=False)
+        return jnp.sum(out.coord_xyz_rel_normed)
+
+    return pipe
+
+
 def _flops(jitted, *args) -> float:
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
@@ -70,23 +106,9 @@ def bench_e2e(cfg, model, variables):
     """
     from handpose_tpu.data.pipeline import raw_device_batches
     from handpose_tpu.data.preprocess import model_input, preprocess_batch
-    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
 
-    anno = os.path.join(BENCH_DATA, "evaluation", "anno_evaluation.pickle")
-    if not os.path.exists(anno):
-        write_synthetic_rhd(BENCH_DATA, "evaluation", N_SAMPLES)
-    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
-
-    @jax.jit
-    def pipe(raw, carry):
-        raw = raw._replace(                 # serialise iterations on device
-            keypoint_uv=raw.keypoint_uv + carry * 0.0)
-        sample = preprocess_batch(raw, crop_size=cfg.crop_size)
-        inp = model_input(sample, cfg.input_channels)
-        out = model.apply(variables, inp, sample["camera_intrinsic_matrix"],
-                          sample["keypoint_scale"],
-                          sample["keypoint_xyz_root"], train=False)
-        return jnp.sum(out.coord_xyz_rel_normed)
+    ds = _bench_dataset()
+    pipe = make_fused_infer_pipe(cfg, model, variables)
 
     def epoch(carry):
         n = 0
@@ -154,21 +176,9 @@ def bench_b1_latency(cfg, model, variables):
 
     The throughput numbers amortise over b256; this is the other end of
     the serving envelope (online inference)."""
-    from handpose_tpu.data.preprocess import model_input, preprocess_batch
-    from handpose_tpu.data.rhd import RHDDataset
-
-    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+    ds = _bench_dataset()
     raw = jax.device_put(ds.raw_batch([0]))
-
-    @jax.jit
-    def pipe1(raw, carry):
-        raw = raw._replace(keypoint_uv=raw.keypoint_uv + carry * 0.0)
-        sample = preprocess_batch(raw, crop_size=cfg.crop_size)
-        inp = model_input(sample, cfg.input_channels)
-        out = model.apply(variables, inp, sample["camera_intrinsic_matrix"],
-                          sample["keypoint_scale"],
-                          sample["keypoint_xyz_root"], train=False)
-        return jnp.sum(out.coord_xyz_rel_normed)
+    pipe1 = make_fused_infer_pipe(cfg, model, variables)
 
     carry = pipe1(raw, jnp.zeros(()))
     _sync(carry)
@@ -186,11 +196,10 @@ def bench_train_step(cfg, model):
     Adam update in ONE program (what Worker runs; 13% over the separate
     step, 27% counting the removed preprocess program)."""
     from handpose_tpu.data.preprocess import model_input, preprocess_batch
-    from handpose_tpu.data.rhd import RHDDataset
     from handpose_tpu.train.state import create_train_state
     from handpose_tpu.train.steps import make_fused_train_step
 
-    ds = RHDDataset(BENCH_DATA, "evaluation", cache_decoded=True)
+    ds = _bench_dataset()
     raw = jax.device_put(ds.raw_batch(list(range(BATCH))))
     pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                      switch_joint_order=cfg.joint_order_switched)

@@ -128,3 +128,28 @@ def filtered_resume(state, ckpt_path: str) -> Tuple[Any, int, float, bool]:
         return (state, int(raw.get("epoch", 0)),
                 float(raw.get("best_mpjpe", np.inf)), False)
     return state, 0, float(np.inf), True
+
+
+def reconcile_schedule_count(state, start_epoch: int, steps_per_epoch: int):
+    """Pin the LR schedule's step counter to the resumed epoch boundary.
+
+    ``cosine_epoch_schedule`` derives the LR epoch as
+    ``count // steps_per_epoch`` of the RESUMING run.  A restored
+    optimizer count came from the run that WROTE the checkpoint, whose
+    steps_per_epoch may differ (different batch size, a migrated torch
+    run, a preemption mid-epoch) — trusting it silently resumes at the
+    wrong point on the cosine curve (possibly clamped to eta_min).  Set
+    the schedule counter to ``start_epoch * steps_per_epoch`` so epoch
+    ``start_epoch`` trains at exactly the LR the reference's per-epoch
+    ``scheduler.step()`` would give it (trainval.py:376).  Adam's own
+    count (bias correction) is left at the true number of steps taken —
+    only LR-schedule components (chain index > 0) are touched.
+    """
+    import jax.numpy as jnp
+
+    target = jnp.asarray(start_epoch * steps_per_epoch, jnp.int32)
+    new = list(state.opt_state)
+    for i in range(1, len(new)):
+        if hasattr(new[i], "count") and hasattr(new[i], "_replace"):
+            new[i] = new[i]._replace(count=target)
+    return state.replace(opt_state=tuple(new))

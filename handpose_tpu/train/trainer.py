@@ -28,7 +28,8 @@ from ..data.synthetic import fake_sample_batch
 from ..models import build_model
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.logging import NullLogger, RunLogger, StepStats, make_run_dir
-from .checkpoints import filtered_resume, save_checkpoint
+from .checkpoints import filtered_resume, reconcile_schedule_count, \
+    save_checkpoint
 from .preemption import PreemptionGuard
 from .state import create_train_state
 from .steps import (make_eval_step, make_fused_eval_step,
@@ -161,6 +162,13 @@ class Worker:
         if cfg.resume_weight_path:
             self.state, self.start_epoch, self.best_mpjpe, finetune = \
                 filtered_resume(self.state, cfg.resume_weight_path)
+            if not finetune:
+                # the checkpoint's schedule count reflects the WRITING
+                # run's steps_per_epoch; re-pin it to ours so the cosine
+                # LR resumes at epoch start_epoch, not wherever
+                # count//steps_per_epoch happens to land
+                self.state = reconcile_schedule_count(
+                    self.state, self.start_epoch, self.steps_per_epoch)
             mode = "finetune" if finetune else "resume"
             self.logger.text(f"loaded {cfg.resume_weight_path} as {mode}; "
                              f"start_epoch={self.start_epoch}")

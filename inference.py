@@ -23,10 +23,14 @@ def main():
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir (orbax) to load")
     p.add_argument("--model", default=None, choices=MODEL_NAMES)
-    p.add_argument("--dataset", default="RHD",
-                   choices=["RHD", "InterHand2.6M", "synthetic"])
-    p.add_argument("--data_root", default="/data/RHD")
-    p.add_argument("--batch_size", type=int, default=100)
+    # None defaults make "explicitly passed" detectable for --from_run
+    # precedence; effective defaults are filled below
+    p.add_argument("--dataset", default=None,
+                   choices=["RHD", "InterHand2.6M", "synthetic"],
+                   help="default RHD")
+    p.add_argument("--data_root", default=None, help="default /data/RHD")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default 100")
     p.add_argument("--input_channels", type=int, default=None)
     p.add_argument("--visualize_dir", default=None)
     p.add_argument("--visualize_n", type=int, default=8)
@@ -65,13 +69,14 @@ def main():
         cfg = cfg.replace(infer_resume_weight_path=ckpt)
         # dataset flags given explicitly on the command line beat the
         # rehydrated run config (the run was trained elsewhere; the data
-        # lives here) -- only non-default values count as explicit
+        # lives here); None = not passed, so even a value equal to the
+        # usual default counts as explicit
         explicit = {}
-        if args.data_root != p.get_default("data_root"):
+        if args.data_root is not None:
             explicit["dataset_root_dir"] = args.data_root
-        if args.dataset != p.get_default("dataset"):
+        if args.dataset is not None:
             explicit["dataset_name"] = args.dataset
-        if args.batch_size != p.get_default("batch_size"):
+        if args.batch_size is not None:
             explicit["infer_batch_size"] = args.batch_size
         if explicit:
             cfg = cfg.replace(**explicit)
@@ -90,9 +95,14 @@ def main():
                  "ThreeHandShapeAndPoseMANO": 24,
                  "Resnet50MANO3DHandPose": 24}.get(model, 3)
 
-    cfg = Config(model_name=model, dataset_name=args.dataset,
-                 dataset_root_dir=args.data_root,
-                 infer_batch_size=args.batch_size, input_channels=in_ch,
+    cfg = Config(model_name=model,
+                 dataset_name=args.dataset if args.dataset is not None
+                 else "RHD",
+                 dataset_root_dir=args.data_root if args.data_root
+                 is not None else "/data/RHD",
+                 infer_batch_size=args.batch_size if args.batch_size
+                 is not None else 100,
+                 input_channels=in_ch,
                  infer_resume_weight_path=args.ckpt)
     cfg = apply_overrides(cfg, args.overrides)
     _evaluate(args, cfg, args.ckpt)

@@ -436,6 +436,52 @@ def test_filtered_resume_preserves_sharding(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_reconcile_schedule_count_resumes_lr_at_epoch():
+    """A checkpoint written by a run with a DIFFERENT steps_per_epoch
+    (migrated torch run, changed batch size, mid-epoch preemption) must
+    resume the cosine LR at start_epoch -- not wherever the foreign
+    count // steps_per_epoch lands (possibly clamped to eta_min).
+    Adam's bias-correction count keeps the true step count."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from handpose_tpu.train.checkpoints import reconcile_schedule_count
+    from handpose_tpu.train.state import (TrainState, cosine_epoch_schedule,
+                                          make_optimizer)
+
+    spe, start_epoch, max_epoch = 5, 7, 60
+    tx = make_optimizer(1e-4, 1e-5, max_epoch, spe)
+    params = {"w": jnp.ones((3,))}
+    state = TrainState.create(apply_fn=lambda *a: None, params=params,
+                              tx=tx)
+    # simulate a restored foreign optimizer: 9100 steps taken in a run
+    # with ~1300 steps/epoch -> 9100 // 5 = epoch 1820 -> LR = eta_min
+    foreign = jnp.asarray(9100, jnp.int32)
+    adam = state.opt_state[0]._replace(count=foreign)
+    sched = state.opt_state[1]._replace(count=foreign)
+    state = state.replace(opt_state=(adam, sched)
+                          + tuple(state.opt_state[2:]))
+
+    state = reconcile_schedule_count(state, start_epoch, spe)
+    assert int(state.opt_state[0].count) == 9100   # Adam bias correction
+    assert int(state.opt_state[1].count) == start_epoch * spe
+    # the very next update trains at the epoch-7 cosine LR
+    lr = cosine_epoch_schedule(1e-4, 1e-5, max_epoch, spe)(
+        state.opt_state[1].count)
+    expect = 1e-5 + (1e-4 - 1e-5) * (1 + np.cos(
+        np.pi * start_epoch / max_epoch)) / 2
+    assert float(lr) == pytest.approx(expect, rel=1e-6)
+    # and an actual optax update scales by it (not by eta_min): with
+    # fresh moments at large count the bias corrections are ~1, so the
+    # constant-grad Adam direction is (1-b1)/sqrt(1-b2) = 3.1623
+    grads = {"w": jnp.ones((3,))}
+    updates, _ = state.tx.update(grads, state.opt_state, state.params)
+    adam_dir = (1 - 0.9) / np.sqrt(1 - 0.999)
+    assert float(jnp.abs(updates["w"][0])) == pytest.approx(
+        expect * adam_dir, rel=0.05)
+
+
 def test_apply_overrides_typed_tuples():
     from handpose_tpu.config import apply_overrides
 

@@ -91,8 +91,8 @@ def _moments_as_params(tm, transfer, opt_sd, field):
 
 
 def convert(ckpt_path: str, model_name: str, out_dir: str,
-            feat_dim: int = 256, with_optimizer: bool = True,
-            overrides=None) -> dict:
+            feat_dim: int = 1024, with_optimizer: bool = True,
+            overrides=None, cond_dim: int = 256) -> dict:
     """Convert; returns a small summary dict (also printed by main)."""
     import jax
     import jax.numpy as jnp
@@ -112,11 +112,13 @@ def convert(ckpt_path: str, model_name: str, out_dir: str,
     ckpt = torch.load(ckpt_path, map_location="cpu")
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
 
-    # reference production defaults for the diffusion schedules
-    # (reference config.py: num_timesteps=400, num_sampling_timesteps=200)
-    # so a real checkpoint's schedule buffers shape-match
+    # reference production defaults for the diffusion schedules and
+    # conditioning width (reference config.py:56-58: num_timesteps=400,
+    # num_sampling_timesteps=200, condition_feat_dim=256) so a real
+    # checkpoint's buffers shape-match
     tm, model, _, _, cfg = build_pair(model_name, feat_dim,
-                                      diff_T=400, diff_sampling=200)
+                                      diff_T=400, diff_sampling=200,
+                                      cond_dim=cond_dim)
     # the harness pins compute_dtype=float32 (torch semantics for the
     # parity runs); apply any user --set overrides (e.g. a TPU serving
     # run wants compute_dtype=bfloat16) before the config is snapshotted
@@ -131,9 +133,19 @@ def convert(ckpt_path: str, model_name: str, out_dir: str,
     tm.load_state_dict(matched, strict=False)
     finetune = set(sd.keys()) != set(own.keys()) or \
         len(matched) != len(own)
+    if finetune:
+        # loud: a shape/key mismatch silently downgrades to finetune
+        # (random init for the unmatched layers, no epoch/optimizer
+        # carry) -- usually a wrong --feat-dim/--cond-dim
+        unmatched = sorted(set(own) - set(matched))[:5]
+        print(f"WARNING: FINETUNE conversion -- {len(matched)}/{len(own)} "
+              f"keys matched; unmatched e.g. {unmatched}. If this "
+              "checkpoint should resume exactly, re-check --feat-dim "
+              "(reference default 1024) / --cond-dim (256).",
+              file=sys.stderr)
 
     params, stats = transfer(tm)
-    deep = lambda tree: jax.tree.map(lambda x: jnp.array(np.array(x)), tree)
+    from twin_train_parity import deep_copy_tree as deep
     tx = make_optimizer(cfg.lr, cfg.lr_min, cfg.max_epoch, 1)
     state = TrainState.create(apply_fn=model.apply, params=deep(params),
                               tx=tx, batch_stats=deep(stats))
@@ -149,8 +161,12 @@ def convert(ckpt_path: str, model_name: str, out_dir: str,
                      if isinstance(e, dict) and "step" in e]
             count = jnp.asarray(max(steps) if steps else 0, jnp.int32)
             # optax.adam = chain(scale_by_adam, scale_by_learning_rate):
-            # BOTH counts must carry (the second one drives the cosine
-            # LR schedule at resume)
+            # the first count is Adam's bias correction (must be the
+            # true torch step count); the second is the LR schedule's,
+            # which the Worker re-pins to start_epoch*steps_per_epoch at
+            # resume (checkpoints.reconcile_schedule_count) because the
+            # torch run's steps_per_epoch need not match the resuming
+            # run's
             adam = state.opt_state[0]._replace(count=count, mu=mu, nu=nu)
             sched = state.opt_state[1]
             if hasattr(sched, "count"):
@@ -187,9 +203,14 @@ def main():
     ap.add_argument("--out", required=True,
                     help="output run dir (config.json + checkpoint + "
                          "model_best)")
-    ap.add_argument("--feat-dim", type=int, default=256,
+    ap.add_argument("--feat-dim", type=int, default=1024,
                     help="resnet_out_feature_dim the checkpoint was "
-                         "trained with (reference config.py default 256)")
+                         "trained with (reference config.py:52 default "
+                         "1024)")
+    ap.add_argument("--cond-dim", type=int, default=256,
+                    help="condition_feat_dim for DiffusionHandPose "
+                         "checkpoints (reference config.py:56 default "
+                         "256)")
     ap.add_argument("--no-optimizer", action="store_true",
                     help="skip Adam moment carry-over")
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
@@ -203,7 +224,7 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     res = convert(args.ckpt, args.model, args.out, feat_dim=args.feat_dim,
                   with_optimizer=not args.no_optimizer,
-                  overrides=args.overrides)
+                  overrides=args.overrides, cond_dim=args.cond_dim)
     print(json.dumps(res))
 
 

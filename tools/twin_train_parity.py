@@ -46,6 +46,22 @@ for p in (REPO, os.path.join(REPO, "tests"),
 REF = os.environ.get("HANDPOSE_REFERENCE", "/root/reference")
 
 
+def deep_copy_tree(tree):
+    """Deep-copy a transferred tree into fresh jnp buffers.
+
+    The transfer helpers (tests/test_model_transfer_parity.py) return
+    ``tensor.numpy()`` VIEWS of torch storage, and contiguous 1-D leaves
+    (biases, BN scales/means) zero-copy through ``jnp.asarray`` on the
+    CPU backend -- without this copy, any later torch-side mutation
+    (``opt.step()``, a moments-into-params reload) silently mutates the
+    JAX tree too.  Shared by this harness and
+    tools/convert_reference_checkpoint.py."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.array(np.array(x)), tree)
+
+
 def make_epoch_batches(ds, indices_per_epoch, crop, sigma):
     """Preprocess fixed per-epoch batch index lists into numpy sample
     dicts with the jitted (parity-tested) pipeline -- the single data
@@ -67,14 +83,16 @@ def make_epoch_batches(ds, indices_per_epoch, crop, sigma):
 
 
 def build_pair(model_name: str, feat_dim: int,
-               diff_T: int = 20, diff_sampling: int = 10):
+               diff_T: int = 20, diff_sampling: int = 10,
+               cond_dim: int = 64):
     """Construct the torch reference model and the Flax model with the
     torch init transferred (tests/test_model_transfer_parity.py
-    machinery; float32 compute both sides).  ``diff_T``/``diff_sampling``
-    size the DiffusionHandPose schedules: the twin tests keep them small
-    (20/10) so the in-forward DDIM loop stays affordable on CPU; the
-    checkpoint converter passes the reference defaults (400/200) so a
-    real checkpoint's schedule buffers match."""
+    machinery; float32 compute both sides).  ``diff_T``/``diff_sampling``/
+    ``cond_dim`` size the DiffusionHandPose schedules and conditioning
+    width: the twin tests keep them small (20/10/64) so the in-forward
+    DDIM loop stays affordable on CPU; the checkpoint converter passes
+    the reference production defaults (400/200/256, reference
+    config.py:56-58) so a real checkpoint's buffers shape-match."""
     import torch
 
     import test_model_transfer_parity as xfer
@@ -213,7 +231,7 @@ def build_pair(model_name: str, feat_dim: int,
         # the DDIM branch (sampling < T) every training step
         xfer._ref_config(input_channels=3, keypoint_num=21,
                          resnet_out_feature_dim=feat_dim,
-                         condition_feat_dim=64, joint_order_switched=True,
+                         condition_feat_dim=cond_dim, joint_order_switched=True,
                          is_inference=False, other_joint_angles_num=23,
                          bone_length_num=20, num_timesteps=diff_T,
                          num_sampling_timesteps=diff_sampling, batch_size=8)
@@ -222,7 +240,7 @@ def build_pair(model_name: str, feat_dim: int,
         torch.manual_seed(3)
         tm = TorchModel(device="cpu")
         cfg = Config(model_name="DiffusionHandPose", input_channels=3,
-                     resnet_out_feature_dim=feat_dim, condition_feat_dim=64,
+                     resnet_out_feature_dim=feat_dim, condition_feat_dim=cond_dim,
                      compute_dtype="float32", joint_order_switched=True,
                      num_timesteps=diff_T, num_sampling_timesteps=diff_sampling)
         params, stats = xfer.transfer_diffusionhandpose(tm)
@@ -435,14 +453,11 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
         return s / c
 
     # --- jax side: production step programs --------------------------
-    # DEEP-COPY the transferred trees: the transfer helpers return
-    # ``tensor.numpy()`` VIEWS of torch storage, and contiguous 1-D
-    # leaves (biases, BN scales/means) zero-copy through jnp.asarray on
-    # the CPU backend -- without the copy, the torch ``opt.step()`` that
-    # runs before each JAX step would silently mutate the JAX side's
-    # initial params (caught via the chaotic M2 uv term, which amplified
-    # the one-step offset 20x)
-    deep = lambda tree: jax.tree.map(lambda x: jnp.array(np.array(x)), tree)
+    # DEEP-COPY the transferred trees (see deep_copy_tree): without the
+    # copy, the torch ``opt.step()`` that runs before each JAX step would
+    # silently mutate the JAX side's initial params (caught via the
+    # chaotic M2 uv term, which amplified the one-step offset 20x)
+    deep = deep_copy_tree
     tx = make_optimizer(1e-4, 1e-5, epochs, steps_per_epoch)
     state = TrainState.create(
         apply_fn=model.apply,

@@ -25,13 +25,18 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="Hand3DPosePriorNetwork",
                    choices=MODEL_NAMES)
-    p.add_argument("--dataset", default="RHD",
-                   choices=["RHD", "InterHand2.6M", "synthetic"])
-    p.add_argument("--data_root", default="/data/RHD")
-    p.add_argument("--batch_size", type=int, default=200)
+    # dataset/path flags default to None so "explicitly passed" is
+    # detectable (--from_run precedence); effective defaults in _DEFAULTS
+    p.add_argument("--dataset", default=None,
+                   choices=["RHD", "InterHand2.6M", "synthetic"],
+                   help="default RHD")
+    p.add_argument("--data_root", default=None, help="default /data/RHD")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default 200")
     p.add_argument("--input_channels", type=int, default=None,
                    help="3 | 21 | 24 (default: per-model convention)")
-    p.add_argument("--max_epoch", type=int, default=60)
+    p.add_argument("--max_epoch", type=int, default=None,
+                   help="default 60")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--fast_debug", action="store_true",
                    help="truncate every epoch to 3 iterations "
@@ -41,7 +46,7 @@ def main():
                         "(reference trainval_fake)")
     p.add_argument("--use_val_to_debug", action="store_true")
     p.add_argument("--resume", default=None)
-    p.add_argument("--log_dir", default="logs")
+    p.add_argument("--log_dir", default=None, help="default logs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--from_run", default=None, metavar="RUN_DIR",
                    help="rehydrate the full Config from RUN_DIR/config.json "
@@ -61,7 +66,8 @@ def main():
             cfg = cfg.replace(resume_weight_path=args.resume)
         # dataset/path flags given explicitly beat the rehydrated config
         # (a migrated/foreign run's config points at data that lives
-        # elsewhere) -- only non-default values count as explicit
+        # elsewhere); None = not passed, so even a value equal to the
+        # usual default counts as explicit
         explicit = {}
         for flag, field in (("data_root", "dataset_root_dir"),
                             ("dataset", "dataset_name"),
@@ -69,7 +75,7 @@ def main():
                             ("max_epoch", "max_epoch"),
                             ("log_dir", "save_log_dir")):
             v = getattr(args, flag)
-            if v != p.get_default(flag):
+            if v is not None:
                 explicit[field] = v
         if args.use_val_to_debug:
             explicit["use_val_dataset_to_debug"] = True
@@ -91,18 +97,20 @@ def main():
                  "ThreeHandShapeAndPoseMANO": 24,
                  "Resnet50MANO3DHandPose": 24}.get(args.model, 3)
 
+    dataset = args.dataset if args.dataset is not None else "RHD"
     cfg = Config(
         model_name=args.model,
-        dataset_name="synthetic" if args.fake_data else args.dataset,
-        dataset_root_dir=args.data_root,
-        batch_size=args.batch_size,
+        dataset_name="synthetic" if args.fake_data else dataset,
+        dataset_root_dir=args.data_root if args.data_root is not None
+        else "/data/RHD",
+        batch_size=args.batch_size if args.batch_size is not None else 200,
         input_channels=in_ch,
-        max_epoch=args.max_epoch,
+        max_epoch=args.max_epoch if args.max_epoch is not None else 60,
         lr=args.lr,
         use_fake_data=args.fake_data,
         use_val_dataset_to_debug=args.use_val_to_debug,
         resume_weight_path=args.resume,
-        save_log_dir=args.log_dir,
+        save_log_dir=args.log_dir if args.log_dir is not None else "logs",
         seed=args.seed,
     )
     cfg = apply_overrides(cfg, args.overrides)
