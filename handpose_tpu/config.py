@@ -102,6 +102,14 @@ class Config:
     # (same function via space-to-depth, 4x wider MXU contraction --
     # exact-equivalence tested; a perf knob, not a semantic one)
     resnet_stem: str = "k3s2"
+    # stem max-pool gradient: 'argmax' routes the backward through a
+    # recomputed in-window argmax (fused elementwise pass; same first-max
+    # tie routing as torch/XLA, values equal to reassociation ulps) --
+    # replaces the two serial select-and-scatter HLOs that profiled at
+    # 5.2% of the fused train step (see ops/pooling.py). 'native' keeps
+    # flax nn.max_pool's gradient. Forward/eval identical either way.
+    # Default pending the on-chip A/B (tools/bench_pool_grad.py).
+    pool_grad: str = "native"
     # accepted-unused (schema parity): the reference declares it and then
     # force-disables it per model (reference trainval.py:103); uv-loss
     # gating lives in LOSS_GATES here.

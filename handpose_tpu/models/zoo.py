@@ -93,6 +93,7 @@ class TwoDimHandPose(nn.Module):
         B, h, w = img.shape[0], img.shape[1], img.shape[2]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -119,6 +120,7 @@ class TwoDimHandPoseWithFK(nn.Module):
         kp = self.cfg.keypoint_num
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -160,6 +162,7 @@ class ThreeDimHandPose(nn.Module):
         from ..nn.mlp import DecayMLP
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -192,6 +195,7 @@ class OnlyThreeDimHandPose(nn.Module):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -221,6 +225,7 @@ class DiffusionHandPose(nn.Module):
         self.resnet_extractor = ResNetFeatureExtractor(
             self.cfg.condition_feat_dim, dtype=_dt(self.cfg),
             bn_variance=self.cfg.bn_mode,
+            pool_grad=self.cfg.pool_grad,
             stem=self.cfg.resnet_stem)
         self.diff_model = DiffusionJointEstimation(
             keypoint_num=self.cfg.keypoint_num,
@@ -288,6 +293,7 @@ class MANO3DHandPose(nn.Module):
                  pose_x0=None, train: bool = False):
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -319,6 +325,7 @@ class ThreeHandShapeAndPoseMANO(nn.Module):
         fc_dim = 10 + pose_num + 3 + (3 if regress_uv else 0)
         xs = ResNetMano(fc_dim=fc_dim, input_channel=self.cfg.input_channels,
                         bn_variance=self.cfg.bn_mode,
+                        pool_grad=self.cfg.pool_grad,
                         dtype=_dt(self.cfg), name="resnet_Mano")(img, train)
         rot = xs[:, 0:3]
         theta = xs[:, 3:pose_num + 3]
@@ -350,6 +357,7 @@ class Resnet50MANO3DHandPose(nn.Module):
         fc_dim = 10 + pose_num + 3 + (3 if self.cfg.network_regress_uv else 0)
         feat = ExtendedResNet50(dtype=_dt(self.cfg),
                                 bn_variance=self.cfg.bn_mode,
+                                pool_grad=self.cfg.pool_grad,
                                 stem=self.cfg.resnet_stem,
                                 name="extended_resnet50_extractor")(img, train)
         xs = DecayMLP(1000, fc_dim, divide=2, activation="ReLU",
@@ -378,6 +386,7 @@ class Hand3DPoseNet(nn.Module):
         B = img.shape[0]
         feat = ResNetFeatureExtractor(self.cfg.resnet_out_feature_dim,
                                       bn_variance=self.cfg.bn_mode,
+                                      pool_grad=self.cfg.pool_grad,
                                       dtype=_dt(self.cfg),
                                       stem=self.cfg.resnet_stem,
                                       name="resnet_extractor")(img, train)
@@ -415,10 +424,12 @@ class Hand3DPosePriorNetwork(nn.Module):
         B = img.shape[0]
         can = PosePrior(dtype=_dt(self.cfg), stem=self.cfg.resnet_stem,
                         bn_variance=self.cfg.bn_mode,
+                        pool_grad=self.cfg.pool_grad,
                         name="PosePrior_net")(img, train)
         can = can.reshape(B, -1, 3)
         ux, uy, uz = ViewPoint(dtype=_dt(self.cfg),
                                bn_variance=self.cfg.bn_mode,
+                               pool_grad=self.cfg.pool_grad,
                                stem=self.cfg.resnet_stem,
                                name="ViewPoint_net")(img, train)
         rot_mat = axis_angle_rot_mat(jnp.concatenate([ux, uy, uz], axis=-1))

@@ -91,11 +91,13 @@ class PosePrior(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
                                 bn_variance=self.bn_variance,
+                                pool_grad=self.pool_grad,
                                 name="backbone")(x, train)
         return DecayMLP(1000, 63, divide=2, activation="LeakyReLU",
                         use_sigmoid=False, name="mlp")(feat)
@@ -110,11 +112,13 @@ class ViewPoint(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ExtendedResNet18(dtype=self.dtype, stem=self.stem,
                                 bn_variance=self.bn_variance,
+                                pool_grad=self.pool_grad,
                                 name="backbone")(x, train)
         out = DecayMLP(1000, 3, divide=4, activation="LeakyReLU",
                        use_sigmoid=False, name="mlp")(feat)

@@ -35,6 +35,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pooling import stem_max_pool
 from .norm import make_norm
 
 ModuleDef = Any
@@ -165,6 +166,7 @@ class ResNet(nn.Module):
     # 'shifted' = one-pass centred on the running mean (fast-path speed,
     # benign cancellation once the running mean warms up).
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -185,7 +187,7 @@ class ResNet(nn.Module):
             raise ValueError(self.stem)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = stem_max_pool(x, self.pool_grad)
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
@@ -214,11 +216,13 @@ class ResNetFeatureExtractor(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResNet50(dtype=self.dtype, stem=self.stem,
                      bn_variance=self.bn_variance,
+                     pool_grad=self.pool_grad,
                      name="trunk")(x, train=train)
         return nn.Dense(self.feat_dim, name="fc_proj")(x)
 
@@ -232,11 +236,13 @@ class ExtendedResNet18(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ResNet18(dtype=self.dtype, stem=self.stem,
                         bn_variance=self.bn_variance,
+                        pool_grad=self.pool_grad,
                         name="trunk")(x, train=train)
 
 
@@ -249,11 +255,13 @@ class ExtendedResNet50(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ResNet50(dtype=self.dtype, stem=self.stem,
                         bn_variance=self.bn_variance,
+                        pool_grad=self.pool_grad,
                         name="trunk")(x, train=train)
 
 
@@ -269,6 +277,7 @@ class ResNetMano(nn.Module):
     input_channel: int = 3   # 3 | 24
     dtype: jnp.dtype = jnp.float32
     bn_variance: str = "stable"   # see ResNet.bn_variance
+    pool_grad: str = "argmax"   # see ops/pooling.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -285,7 +294,7 @@ class ResNetMano(nn.Module):
             raise ValueError("input_channel should be 3 or 24")
         x = norm(name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = stem_max_pool(x, self.pool_grad)
         for i, block_count in enumerate([3, 4, 6, 3]):
             for j in range(block_count):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)

@@ -1,0 +1,113 @@
+"""Max pooling with an argmax-routed custom VJP.
+
+The reference trunks pool with 3x3 / stride-2 / pad-1 max pooling
+(reference network/sub_modules/resnetMANO.py:159 and the torchvision
+ResNets used by resNetFeatureExtractor.py / PoseViewPointNetwork.py).
+flax's ``nn.max_pool`` differentiates through ``lax.reduce_window``,
+whose gradient lowers to a ``select-and-scatter`` HLO -- the profiled
+third-largest time sink of the fused train step on v5e (two 2.17 ms ops
+per step = 5.2%, see ``tools/profile_train_step.py`` / NOTES_r3.md).
+
+``max_pool_argmax_grad`` runs the IDENTICAL forward program
+(``lax.reduce_window`` via ``nn.max_pool``) but routes the backward
+through a recomputed in-window argmax: the cotangent is scattered with
+kh*kw masked interior-padded placements that XLA fuses into one
+elementwise pass instead of the serial select-and-scatter.
+
+Tie semantics match torch's MaxPool2d backward exactly: the FIRST
+maximal element in row-major window order receives the whole gradient
+(``jnp.argmax`` returns the first occurrence). ``tests/test_pooling.py``
+asserts the gradient SUPPORT SET (tie routing) equals both
+``nn.max_pool``'s and torch's on tie-heavy inputs; values agree to
+fp-addition-reassociation ulps (elements under several overlapping
+windows accumulate in implementation-defined order -- torch, XLA
+select-and-scatter, and this kernel each use their own, ~2e-7 apart
+in float32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def max_pool_argmax_grad(x, window_shape=(3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1))):
+    """``nn.max_pool`` (NHWC) with a fused argmax-routed gradient."""
+    return nn.max_pool(x, window_shape, strides=strides, padding=padding)
+
+
+def _window_views(x, window_shape, strides, padding):
+    """Stack the kh*kw strided window views of the padded input.
+
+    Returns (views, geometry) where views has shape
+    (kh*kw, N, H_out, W_out, C) in row-major window order.
+    """
+    kh, kw = window_shape
+    sh, sw = strides
+    (plh, phh), (plw, phw) = padding
+    N, H, W, C = x.shape
+    Hp, Wp = H + plh + phh, W + plw + phw
+    Ho, Wo = (Hp - kh) // sh + 1, (Wp - kw) // sw + 1
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).min, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (plh, phh), (plw, phw), (0, 0)),
+                 constant_values=neg)
+    views = [xp[:, di:di + sh * (Ho - 1) + 1:sh,
+                dj:dj + sw * (Wo - 1) + 1:sw, :]
+             for di in range(kh) for dj in range(kw)]
+    return jnp.stack(views), (Hp, Wp, Ho, Wo)
+
+
+def _fwd(x, window_shape, strides, padding):
+    y = nn.max_pool(x, window_shape, strides=strides, padding=padding)
+    return y, x
+
+
+def _bwd(window_shape, strides, padding, x, g):
+    kh, kw = window_shape
+    sh, sw = strides
+    (plh, _), (plw, _) = padding
+    N, H, W, C = x.shape
+    views, (Hp, Wp, Ho, Wo) = _window_views(x, window_shape, strides,
+                                            padding)
+    # First maximal element in row-major window order gets the gradient
+    # (jnp.argmax -> first occurrence), matching torch MaxPool2d.
+    idx = jnp.argmax(views, axis=0)
+    zero = jnp.zeros((), g.dtype)
+    dxp = jnp.zeros((N, Hp, Wp, C), g.dtype)
+    for k in range(kh * kw):
+        di, dj = divmod(k, kw)
+        contrib = jnp.where(idx == k, g, zero)
+        # Place contrib[i, j] at padded position (di + sh*i, dj + sw*j):
+        # interior padding = stride - 1, low padding = window offset.
+        dxp = dxp + lax.pad(
+            contrib, zero,
+            ((0, 0, 0),
+             (di, Hp - di - (sh * (Ho - 1) + 1), sh - 1),
+             (dj, Wp - dj - (sw * (Wo - 1) + 1), sw - 1),
+             (0, 0, 0)))
+    return (dxp[:, plh:plh + H, plw:plw + W, :],)
+
+
+max_pool_argmax_grad.defvjp(_fwd, _bwd)
+
+
+def stem_max_pool(x, impl: str = "argmax"):
+    """The ResNet-stem 3x3/s2/p1 max pool with a selectable gradient.
+
+    'argmax' = the fused argmax-routed VJP above; 'native' = flax
+    nn.max_pool (select-and-scatter gradient). Forward programs are
+    identical; eval/serving is unaffected by the choice.
+    """
+    if impl == "argmax":
+        return max_pool_argmax_grad(x)
+    if impl == "native":
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+    raise ValueError(f"pool_grad {impl!r} not in ('argmax', 'native')")
