@@ -65,16 +65,21 @@ def test_param_rule_layouts():
     assert param_sharding(mesh, narrow).spec == P()
 
 
-def test_tp2_train_step_parity_vs_replicated():
+@pytest.mark.parametrize("pool_grad", ["native", "argmax"])
+def test_tp2_train_step_parity_vs_replicated(pool_grad):
     assert len(jax.devices()) == 8
     mesh = make_dp_tp_mesh(8)          # dp=4, tp=2
-    model, state, batch = _state_and_batch(CFG)
+    # 'argmax' routes the pool backward through ops/pooling.py's custom
+    # VJP -- its pad/argmax/where graph must shard like the native
+    # select-and-scatter (same parity bound)
+    cfg = CFG.replace(pool_grad=pool_grad)
+    model, state, batch = _state_and_batch(cfg)
     # non-degenerate images: see test_train.py's sharded-step test -- the
     # constant fake image amplifies BN partition noise ~40x
     batch["image_crop"] = jax.random.uniform(
         jax.random.PRNGKey(42), batch["image_crop"].shape,
         minval=-0.5, maxval=0.5)
-    step = make_train_step(model, CFG)
+    step = make_train_step(model, cfg)
 
     sharded_state = shard_train_state(state, mesh)
     new_s, m = step(sharded_state, shard_batch(batch, mesh),
@@ -83,7 +88,7 @@ def test_tp2_train_step_parity_vs_replicated():
 
     # independent state (same seed): the step donates its input buffers,
     # and device_put to an identical sharding aliases rather than copies
-    _, state_ref, _ = _state_and_batch(CFG)
+    _, state_ref, _ = _state_and_batch(cfg)
     _, m_ref = step(state_ref, batch, jax.random.PRNGKey(1))
     # identical math modulo fp reduction order across shards
     # (f32-highest noise is ~1e-4; a loose 5e-2 would mask real psum/
