@@ -107,7 +107,8 @@ class Config:
     # tie routing as torch/XLA, values equal to reassociation ulps) --
     # replaces the two serial select-and-scatter HLOs that profiled at
     # 5.2% of the fused train step (see ops/pooling.py). 'native' keeps
-    # flax nn.max_pool's gradient. Forward/eval identical either way.
+    # flax nn.max_pool's gradient. Forward/eval identical either way;
+    # 'argmax' is reverse-mode only (custom_vjp blocks jvp/jacfwd).
     # Default pending the on-chip A/B (tools/bench_pool_grad.py).
     pool_grad: str = "native"
     # accepted-unused (schema parity): the reference declares it and then

@@ -91,7 +91,7 @@ class PosePrior(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,7 +112,7 @@ class ViewPoint(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -166,7 +166,7 @@ class ResNet(nn.Module):
     # 'shifted' = one-pass centred on the running mean (fast-path speed,
     # benign cancellation once the running mean warms up).
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -216,7 +216,7 @@ class ResNetFeatureExtractor(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -236,7 +236,7 @@ class ExtendedResNet18(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -255,7 +255,7 @@ class ExtendedResNet50(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem: str = "k3s2"
     bn_variance: str = "stable"
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -277,7 +277,7 @@ class ResNetMano(nn.Module):
     input_channel: int = 3   # 3 | 24
     dtype: jnp.dtype = jnp.float32
     bn_variance: str = "stable"   # see ResNet.bn_variance
-    pool_grad: str = "argmax"   # see ops/pooling.py
+    pool_grad: str = "native"   # see ops/pooling.py (mirrors Config.pool_grad)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -98,16 +98,27 @@ def _bwd(window_shape, strides, padding, x, g):
 max_pool_argmax_grad.defvjp(_fwd, _bwd)
 
 
-def stem_max_pool(x, impl: str = "argmax"):
+# the one pooling geometry every reference trunk uses (3x3, stride 2,
+# pad 1) -- single source of truth for both implementations below
+STEM_POOL = dict(window_shape=(3, 3), strides=(2, 2),
+                 padding=((1, 1), (1, 1)))
+
+
+def stem_max_pool(x, impl: str = "native"):
     """The ResNet-stem 3x3/s2/p1 max pool with a selectable gradient.
 
     'argmax' = the fused argmax-routed VJP above; 'native' = flax
     nn.max_pool (select-and-scatter gradient). Forward programs are
-    identical; eval/serving is unaffected by the choice.
+    identical; eval/serving is unaffected by the choice. Caveat:
+    'argmax' is reverse-mode only (jax.custom_vjp blocks jvp/jacfwd);
+    use 'native' for any forward-mode autodiff tooling.
     """
     if impl == "argmax":
-        return max_pool_argmax_grad(x)
+        return max_pool_argmax_grad(x, STEM_POOL["window_shape"],
+                                    STEM_POOL["strides"],
+                                    STEM_POOL["padding"])
     if impl == "native":
-        return nn.max_pool(x, (3, 3), strides=(2, 2),
-                           padding=((1, 1), (1, 1)))
+        return nn.max_pool(x, STEM_POOL["window_shape"],
+                           strides=STEM_POOL["strides"],
+                           padding=STEM_POOL["padding"])
     raise ValueError(f"pool_grad {impl!r} not in ('argmax', 'native')")

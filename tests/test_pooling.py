@@ -16,9 +16,8 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
+from handpose_tpu.ops.pooling import STEM_POOL as W332
 from handpose_tpu.ops.pooling import max_pool_argmax_grad
-
-W332 = dict(window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
 def _pool_ref(x):
@@ -71,7 +70,7 @@ def test_forward_identical(dtype, case):
 
 @pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
 @pytest.mark.parametrize("case", ["smooth", "ties", "stemlike"])
-def test_gradient_bit_identical(dtype, case):
+def test_gradient_same_routing(dtype, case):
     x = jnp.asarray(_cases(np.float32)[case], dtype)
     # non-uniform cotangent so routing errors can't cancel
     w = jnp.asarray(np.random.default_rng(1).normal(
