@@ -256,7 +256,25 @@ def bench_diffusion_p50(cfg):
     return statistics.median(lat)
 
 
+def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
+    """Retry first device contact: the tunneled TPU backend comes and
+    goes; a transient blip should cost a minute, not the bench run.
+    Progress goes to stderr -- stdout stays the single JSON line."""
+    import sys
+
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"device init failed ({e}); retry {i + 1}/{attempts} "
+                  f"in {delay_s:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(delay_s)
+
+
 def main():
+    _wait_for_devices()
     from handpose_tpu.config import Config
     from handpose_tpu.data.synthetic import fake_sample_batch
     from handpose_tpu.data.preprocess import model_input
