@@ -602,7 +602,8 @@ def main():
                    choices=["ThreeDimHandPose", "Hand3DPosePriorNetwork",
                             "MANO3DHandPose", "DiffusionHandPose",
                             "Resnet50MANO3DHandPose", "TwoDimHandPoseWithFK",
-                            "TwoDimHandPose", "ThreeHandShapeAndPoseMANO"])
+                            "TwoDimHandPose", "ThreeHandShapeAndPoseMANO",
+                            "OnlyThreeDimHandPose", "Hand3DPoseNet"])
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--n-train", type=int, default=200)
     p.add_argument("--n-val", type=int, default=48)
