@@ -23,6 +23,16 @@ fp-addition-reassociation ulps (elements under several overlapping
 windows accumulate in implementation-defined order -- torch, XLA
 select-and-scatter, and this kernel each use their own, ~2e-7 apart
 in float32).
+
+Measured negative result (v5e, tools/bench_pool_grad.py, b256 flagship
+fused train step): 'argmax' 1551.6 img/s vs 'native' 2876.6 img/s
+(0.54x) -- the recomputed-argmax + 9-placement backward costs far more
+than the two 2.17 ms select-and-scatter ops it replaces, because the
+forward activations must be re-read at full 128x128x64 resolution and
+the nine interior-padded placements defeat fusion into a single pass on
+this XLA version. The default stays 'native'; 'argmax' is kept as a
+measured alternative should select-and-scatter regress on a future
+compiler.
 """
 
 from __future__ import annotations
