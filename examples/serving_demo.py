@@ -57,14 +57,16 @@ def main():
     warm = fake_sample_batch(args.batch_size, cfg.crop_size,
                              cfg.input_channels, seed=0)
     inp = model_input(warm, cfg.input_channels)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, inp,
-        warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
-        warm["keypoint_xyz_root"], train=False)
 
-    if args.from_run:
+    if args.fresh:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, inp,
+            warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
+            warm["keypoint_xyz_root"], train=False)
+    else:
         # pull the trained params/batch_stats through the production
-        # resume path (model_best preferred, falling back to last)
+        # resume path (model_best preferred, falling back to last);
+        # create_train_state performs the (single) model.init trace
         from handpose_tpu.train.checkpoints import filtered_resume
         from handpose_tpu.train.state import create_train_state
 

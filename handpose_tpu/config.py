@@ -109,7 +109,10 @@ class Config:
     # 5.2% of the fused train step (see ops/pooling.py). 'native' keeps
     # flax nn.max_pool's gradient. Forward/eval identical either way;
     # 'argmax' is reverse-mode only (custom_vjp blocks jvp/jacfwd).
-    # Default pending the on-chip A/B (tools/bench_pool_grad.py).
+    # Measured on v5e (tools/bench_pool_grad.py): 'argmax' is 0.54x
+    # native (the recomputed argmax re-reads the stem activations and the
+    # placements don't fuse), so 'native' is the confirmed default;
+    # 'argmax' stays as a tested alternative / torch-tie-routing oracle.
     pool_grad: str = "native"
     # accepted-unused (schema parity): the reference declares it and then
     # force-disables it per model (reference trainval.py:103); uv-loss

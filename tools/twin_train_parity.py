@@ -246,8 +246,9 @@ def build_pair(model_name: str, feat_dim: int,
         params, stats = xfer.transfer_diffusionhandpose(tm)
     elif model_name == "OnlyThreeDimHandPose":
         # direct-regression family (M4): backbone -> 63-d xyz, no FK.
-        # Not twin-trained (strict subset of M3's path); constructed here
-        # for the checkpoint converter.
+        # Twin-trained under the measured-chaos criterion (fast
+        # unconstrained descent; see test_twin_training_convergence_direct3d)
+        # and used by the checkpoint converter.
         xfer._ref_config(input_channels=3, keypoint_num=21,
                          resnet_out_feature_dim=feat_dim,
                          joint_order_switched=True, is_inference=False)
@@ -261,8 +262,10 @@ def build_pair(model_name: str, feat_dim: int,
                      compute_dtype="float32", joint_order_switched=True)
         params, stats = xfer.transfer_onlythreedimhandpose(tm)
     elif model_name == "Hand3DPoseNet":
-        # canonical+viewpoint MLP family (M9): not twin-trained (flagship
-        # with MLP heads); constructed here for the checkpoint converter.
+        # canonical+viewpoint MLP family (M9): twin-trained (strict at
+        # CLI settings; measured-chaos criterion at the small test config,
+        # see test_twin_training_convergence_posenet) and used by the
+        # checkpoint converter.
         xfer._ref_config(input_channels=3, keypoint_num=21,
                          resnet_out_feature_dim=feat_dim,
                          joint_order_switched=True, is_inference=False)
