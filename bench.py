@@ -219,7 +219,10 @@ def bench_interhand(cfg, model, variables):
                         "InterHand2.6M_val_data.json")
     if not os.path.exists(anno):
         write_synthetic_interhand(root, "val", n=64, image_size=320)
-    ds = InterHandDataset(root, "val", pad_to=(320, 320))
+    # pad_to="auto" matches what the Worker compiles for (and, unlike a
+    # hardcoded pad, never CROPS a real InterHand 512x334 capture when
+    # HPT_BENCH_IH_DATA points at a real tree)
+    ds = InterHandDataset(root, "val", pad_to="auto")
     idx = [i % len(ds) for i in range(BATCH)]   # tile up to a full batch
     raw = jax.device_put(ds.raw_batch(idx))
 
@@ -322,13 +325,25 @@ def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
 
     for i in range(attempts):
         try:
-            return jax.devices()
+            devs = jax.devices()
         except RuntimeError as e:
             if i == attempts - 1:
                 raise
             print(f"device init failed ({e}); retry {i + 1}/{attempts} "
                   f"in {delay_s:.0f}s", file=sys.stderr, flush=True)
             time.sleep(delay_s)
+            continue
+        if i and all(d.platform == "cpu" for d in devs):
+            # jax caches partially-registered backends: after a failed
+            # accelerator init, a retry can "succeed" by returning the
+            # already-registered CPU client without re-attempting the
+            # accelerator.  Loud failure beats silently printing CPU
+            # throughput as if it were the chip's.
+            raise RuntimeError(
+                "device init retry returned CPU-only devices; the "
+                "accelerator backend did not recover (jax caches backends "
+                "per process -- restart to retry)")
+        return devs
 
 
 def main():
@@ -396,7 +411,7 @@ def main():
                    "device+dispatch time (what PCIe-local serving sees)",
         "interhand_preproc_plus_infer_img_per_sec": round(ih_rate, 1),
         "interhand_note": "second dataset family: fused InterHand2.6M "
-                          f"preprocess (320px pad, bbox crop) + flagship "
+                          f"preprocess (auto pad, bbox crop) + flagship "
                           f"forward, device-resident b{BATCH}",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
         "mfu_model_forward": round(mfu_model_fwd, 4),

@@ -79,7 +79,14 @@ def main():
         for name in ("model_best", "checkpoint"):
             cand = os.path.join(args.from_run, name)
             if os.path.isdir(cand):
-                state, _, _, _ = filtered_resume(state, cand)
+                state, _, _, is_finetune = filtered_resume(state, cand)
+                if is_finetune:
+                    # partial key match means part of the exported weights
+                    # would be fresh init -- never what serving wants
+                    ap.error(f"{cand} only partially matches the model "
+                             f"built from {args.from_run}/config.json "
+                             "(finetune-style load); refusing to export "
+                             "partially-initialised weights")
                 break
         else:
             ap.error(f"no model_best/checkpoint dir under {args.from_run}")

@@ -13,34 +13,9 @@ with one HBM read while keeping partition-invariance after warm-up.
 """
 
 import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def main():
-    import bench
-    from handpose_tpu.config import Config
-    from handpose_tpu.models import build_model
-
-    results = {}
-    for mode in ("stable", "fast", "shifted"):
-        cfg = Config(model_name="Hand3DPosePriorNetwork",
-                     input_channels=21, batch_size=bench.BATCH,
-                     bn_variance=mode)
-        model = build_model(cfg)
-        rate, flops = bench.bench_train_step(cfg, model)
-        results[mode] = {
-            "train_step_img_per_sec": round(rate, 1),
-            "mfu_train": round((flops / bench.BATCH) * rate /
-                               bench.PEAK_BF16_FLOPS, 4),
-        }
-    base = results["stable"]["train_step_img_per_sec"]
-    for mode, r in results.items():
-        r["vs_stable"] = round(r["train_step_img_per_sec"] / base, 4)
-    print(json.dumps(results))
-
+from ab_train_step import ab_train_step
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(ab_train_step(
+        "bn_variance", ("stable", "fast", "shifted"), baseline="stable")))

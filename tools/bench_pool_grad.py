@@ -12,37 +12,13 @@ Context: the on-chip profile (tools/profile_train_step.py, NOTES_r3.md)
 showed the flax/XLA pool gradient as two serial select-and-scatter HLOs
 at 2.17 ms each = 5.2% of the step; 'argmax' re-expresses that backward
 as one fused elementwise pass with identical first-max tie routing.
+Measured on v5e: argmax is 0.54x native, so 'native' is the default.
 """
 
 import json
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def main():
-    import bench
-    from handpose_tpu.config import Config
-    from handpose_tpu.models import build_model
-
-    results = {}
-    for impl in ("argmax", "native"):
-        cfg = Config(model_name="Hand3DPosePriorNetwork",
-                     input_channels=21, batch_size=bench.BATCH,
-                     pool_grad=impl)
-        model = build_model(cfg)
-        rate, flops = bench.bench_train_step(cfg, model)
-        results[impl] = {
-            "train_step_img_per_sec": round(rate, 1),
-            "mfu_train": round((flops / bench.BATCH) * rate /
-                               bench.PEAK_BF16_FLOPS, 4),
-        }
-    base = results["native"]["train_step_img_per_sec"]
-    for impl, r in results.items():
-        r["vs_native"] = round(r["train_step_img_per_sec"] / base, 4)
-    print(json.dumps(results))
-
+from ab_train_step import ab_train_step
 
 if __name__ == "__main__":
-    main()
+    print(json.dumps(ab_train_step(
+        "pool_grad", ("argmax", "native"), baseline="native")))
