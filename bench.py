@@ -249,7 +249,7 @@ def bench_interhand(cfg, model, variables):
     return BATCH * iters / (time.perf_counter() - t0)
 
 
-def bench_train_step(cfg, model):
+def bench_train_step(cfg, model, batch_size: int | None = None):
     """Fused production train step: raw batch -> preprocess + fwd + bwd +
     Adam update in ONE program (what Worker runs; 13% over the separate
     step, 27% counting the removed preprocess program)."""
@@ -257,13 +257,18 @@ def bench_train_step(cfg, model):
     from handpose_tpu.train.state import create_train_state
     from handpose_tpu.train.steps import make_fused_train_step
 
+    BATCH = batch_size or globals()["BATCH"]
     ds = _bench_dataset()
-    raw = jax.device_put(ds.raw_batch(list(range(BATCH))))
+    raw = jax.device_put(ds.raw_batch([i % N_SAMPLES for i in range(BATCH)]))
     pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                      switch_joint_order=cfg.joint_order_switched)
-    batch = jax.tree.map(jnp.asarray, preprocess_batch(raw, **pp_kwargs))
+    # init from a tiny slice: state shapes are batch-independent, and
+    # eagerly preprocessing + model.init'ing the FULL batch OOMs exactly
+    # the large-batch cases bench_grad_accum.py exists to measure
+    small = jax.tree.map(lambda a: a[:8], raw)
+    batch = jax.tree.map(jnp.asarray, preprocess_batch(small, **pp_kwargs))
     inp = model_input(batch, cfg.input_channels)
-    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(BATCH, 1, -1)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
             batch["keypoint_xyz_root"], pose_x0)
     state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)

@@ -116,20 +116,70 @@ def _maybe_remat(model, cfg: Config):
     return jax.checkpoint(forward) if cfg.remat else forward
 
 
+def _accum_grads(grad_one, state: TrainState, data, rng, k: int):
+    """Gradient over ``data``, optionally accumulated over ``k``
+    sequential microbatches (``cfg.grad_accum``).
+
+    ``grad_one(params, batch_stats, data_i, rng_i) -> (grads, new_bs,
+    losses)`` computes one microbatch's mean-loss gradient.  For ``k==1``
+    it runs directly (the byte-identical single-shot program).  For
+    ``k>1`` every leading axis of ``data`` is reshaped to
+    ``(k, B//k, ...)`` and a ``lax.scan`` accumulates the grad sum --
+    activations (and, in the fused step, the rendered scoremaps) live
+    only for one microbatch at a time, so batches far past single-shot
+    HBM limits train.  Returned grads are the mean over microbatches
+    (== the full-batch gradient when per-microbatch masked-mean weights
+    agree, e.g. equal visible-joint counts; the usual torch-style
+    accumulation contract otherwise).  BatchNorm normalises per
+    microbatch and running stats take momentum once per microbatch --
+    also the torch accumulation semantics.  Loss metrics are microbatch
+    means."""
+    if k == 1:
+        return grad_one(state.params, state.batch_stats, data, rng)
+
+    def split(x):
+        if x.shape[0] % k:
+            raise ValueError(
+                f"grad_accum={k} does not divide batch dim {x.shape[0]}")
+        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+    micro = jax.tree.map(split, data)
+    rngs = jax.random.split(rng, k)
+    grad_zero = jax.tree.map(jnp.zeros_like, state.params)
+
+    def body(carry, xs):
+        bs, gsum = carry
+        data_i, rng_i = xs
+        grads, new_bs, losses = grad_one(state.params, bs, data_i, rng_i)
+        gsum = jax.tree.map(jnp.add, gsum, grads)
+        return (new_bs, gsum), losses
+
+    (new_bs, gsum), losses_k = jax.lax.scan(
+        body, (state.batch_stats, grad_zero), (micro, rngs))
+    grads = jax.tree.map(lambda g: g / k, gsum)
+    losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses_k)
+    return grads, new_bs, losses
+
+
 def make_train_step(model, cfg: Config):
     forward = _maybe_remat(model, cfg)
+
+    def grad_one(params, batch_stats, batch, rng):
+        def loss_fn(p):
+            out, new_bs = forward(p, batch_stats, batch, rng)
+            losses = compute_losses(out, batch, cfg)
+            return losses["loss"], (new_bs, losses)
+
+        (_, (new_bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, new_bs, losses
 
     # donate the state: params/opt buffers are updated in place on device,
     # halving peak HBM for the update step
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
-        def loss_fn(params):
-            out, new_bs = forward(params, state.batch_stats, batch, rng)
-            losses = compute_losses(out, batch, cfg)
-            return losses["loss"], (new_bs, losses)
-
-        (loss, (new_bs, losses)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        grads, new_bs, losses = _accum_grads(grad_one, state, batch, rng,
+                                             cfg.grad_accum)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_bs)
         return state, losses
@@ -187,8 +237,7 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
     flags = {k: v for k, v in (aug_flags or {}).items() if v}
     forward = _maybe_remat(model, cfg)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, raw, rng):
+    def grad_one(params, batch_stats, raw, rng):
         aug_rng, fwd_rng = jax.random.split(rng)
         if flags:
             batch = preprocess_fn(raw, rng=aug_rng, **pp_kwargs, **flags)
@@ -196,13 +245,19 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
             batch = preprocess_fn(raw, **pp_kwargs)
         batch = jax.lax.stop_gradient(batch)
 
-        def loss_fn(params):
-            out, new_bs = forward(params, state.batch_stats, batch, fwd_rng)
+        def loss_fn(p):
+            out, new_bs = forward(p, batch_stats, batch, fwd_rng)
             losses = compute_losses(out, batch, cfg)
             return losses["loss"], (new_bs, losses)
 
-        (loss, (new_bs, losses)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (_, (new_bs, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, new_bs, losses
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, raw, rng):
+        grads, new_bs, losses = _accum_grads(grad_one, state, raw, rng,
+                                             cfg.grad_accum)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_bs)
         return state, losses

@@ -191,8 +191,11 @@ class Worker:
             return fake_sample_batch(min(self.cfg.batch_size, 8),
                                      self.cfg.crop_size,
                                      self.cfg.input_channels, seed)
+        # init needs shapes, not the production batch size: eagerly
+        # preprocessing a huge batch here would OOM exactly the
+        # large-batch (grad_accum) configurations the step itself handles
         raw = self.train_ds.raw_batch(
-            list(range(min(self.cfg.batch_size, len(self.train_ds)))))
+            list(range(min(self.cfg.batch_size, len(self.train_ds), 8))))
         from ..data.preprocess import (InterHandRawBatch, preprocess_batch,
                                        preprocess_interhand_batch)
         fn = (preprocess_interhand_batch

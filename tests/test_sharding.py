@@ -65,14 +65,17 @@ def test_param_rule_layouts():
     assert param_sharding(mesh, narrow).spec == P()
 
 
-@pytest.mark.parametrize("pool_grad", ["native", "argmax"])
-def test_tp2_train_step_parity_vs_replicated(pool_grad):
+@pytest.mark.parametrize("pool_grad,grad_accum",
+                         [("native", 1), ("argmax", 1), ("native", 2)])
+def test_tp2_train_step_parity_vs_replicated(pool_grad, grad_accum):
     assert len(jax.devices()) == 8
     mesh = make_dp_tp_mesh(8)          # dp=4, tp=2
     # 'argmax' routes the pool backward through ops/pooling.py's custom
     # VJP -- its pad/argmax/where graph must shard like the native
-    # select-and-scatter (same parity bound)
-    cfg = CFG.replace(pool_grad=pool_grad)
+    # select-and-scatter (same parity bound); grad_accum=2 reshapes the
+    # dp-sharded batch to (k, B//k, ...) and scans -- the accumulated
+    # update must match the replicated accumulated update
+    cfg = CFG.replace(pool_grad=pool_grad, grad_accum=grad_accum)
     model, state, batch = _state_and_batch(cfg)
     # non-degenerate images: see test_train.py's sharded-step test -- the
     # constant fake image amplifies BN partition noise ~40x

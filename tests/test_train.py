@@ -3,6 +3,7 @@
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -280,6 +281,170 @@ def test_remat_step_matches_plain():
     assert l0 == l1
     for a, b in zip(p0, p1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_accum_grads_machinery_exact():
+    """_accum_grads mechanics verified EXACTLY on a numerically benign
+    toy grad_one: microbatch split order, per-microbatch rng routing,
+    grad averaging, stats threading, and loss meaning all match a
+    hand-rolled loop (a full BN model cannot pin these exactly: XLA
+    fusion reassociates reductions, and 18 stacked BNs amplify that to
+    ~0.4% -- the same measured chaos band NOTES_r3.md documents)."""
+    from types import SimpleNamespace
+
+    from handpose_tpu.train.steps import _accum_grads
+
+    k, B = 4, 8
+    data = jnp.arange(B * 3, dtype=jnp.float32).reshape(B, 3)
+    params = {"w": jnp.array([0.5, -1.0, 2.0])}
+    state = SimpleNamespace(params=params, batch_stats={"n": jnp.zeros(())})
+    rng = jax.random.PRNGKey(7)
+
+    def grad_one(p, bs, data_i, rng_i):
+        target = jax.random.normal(rng_i, (3,))
+
+        def loss_fn(q):
+            return jnp.mean((data_i * q["w"] - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        return g, {"n": bs["n"] + 1}, {"loss": loss}
+
+    grads, new_bs, losses = _accum_grads(grad_one, state, data, rng, k)
+
+    # hand-rolled oracle: reshape split == contiguous slices, rng i =
+    # split(rng, k)[i], mean of grads / losses, stats threaded k times
+    rngs = jax.random.split(rng, k)
+    gs, ls = [], []
+    for i in range(k):
+        gi, _, li = grad_one(params, {"n": jnp.zeros(())},
+                             data[2 * i:2 * (i + 1)], rngs[i])
+        gs.append(gi)
+        ls.append(li["loss"])
+    np.testing.assert_allclose(np.asarray(grads["w"]),
+                               np.mean([g["w"] for g in gs], axis=0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(losses["loss"]),
+                               np.mean([float(l) for l in ls]), rtol=1e-6)
+    assert float(new_bs["n"]) == k
+
+
+def test_grad_accum_matches_manual_microbatch_mean():
+    """grad_accum=2 == hand-rolled accumulation on the real model:
+    per-microbatch grads (BN stats threaded through) averaged, ONE
+    optax update.  Tolerances are the measured jit-vs-eager chaos band
+    of this BN stack (~0.4% on the loss; the machinery itself is pinned
+    exactly by test_accum_grads_machinery_exact).  BN running stats
+    take momentum once per microbatch (the torch accumulation
+    contract, steps.py::_accum_grads).
+    """
+    from handpose_tpu.train.steps import _forward, compute_losses
+
+    cfg = TINY.replace(compute_dtype="float32", grad_accum=2)
+    model = build_model(cfg)
+    batch = fake_sample_batch(8, 64, 3, seed=2)
+    inp = model_input(batch, 3)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    rng = jax.random.PRNGKey(1)
+
+    def mk_state():
+        return create_train_state(model, cfg, args, jax.random.PRNGKey(0),
+                                  10)
+
+    got, m = make_train_step(model, cfg)(mk_state(), batch, rng)
+
+    # manual oracle: same split, same rng routing as _accum_grads
+    state0 = mk_state()
+    rngs = jax.random.split(rng, 2)
+    bs, gsum, losses = state0.batch_stats, None, []
+
+    def loss_fn(p, bs, mb, r):
+        out, new_bs = _forward(model.apply, p, bs, mb, cfg, True, r)
+        l = compute_losses(out, mb, cfg)
+        return l["loss"], (new_bs, l)
+
+    for i in range(2):
+        mb = jax.tree.map(lambda a: a[4 * i:4 * (i + 1)], batch)
+        (_, (bs, li)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state0.params, bs, mb, rngs[i])
+        losses.append(li)
+        gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+    grads = jax.tree.map(lambda x: x / 2, gsum)
+    want = state0.apply_gradients(grads=grads).replace(batch_stats=bs)
+
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        (float(losses[0]["loss"]) + float(losses[1]["loss"])) / 2, rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(got.params), jax.tree.leaves(want.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    for a, b in zip(jax.tree.leaves(got.batch_stats),
+                    jax.tree.leaves(want.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=1e-2)
+
+
+def test_grad_accum_fused_step(tmp_path):
+    """The fused (preprocess-inside-jit) step accumulates identically to
+    per-microbatch fused steps (manual oracle: separate preprocess +
+    grad per microbatch, same rng routing); indivisible batch raises."""
+    from handpose_tpu.data.preprocess import preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train.steps import (_forward, compute_losses,
+                                          make_fused_train_step)
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=8, seed=13)
+    ds = RHDDataset(str(root), "evaluation")
+    raw = jax.device_put(ds.raw_batch(list(range(8))))
+
+    cfg = TINY.replace(use_fake_data=False, input_img_shape=(128, 128),
+                       compute_dtype="float32", grad_accum=2)
+    model = build_model(cfg)
+    pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
+                     switch_joint_order=cfg.joint_order_switched)
+    batch = preprocess_batch(raw, **pp_kwargs)
+    inp = model_input(batch, cfg.input_channels)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    rng = jax.random.PRNGKey(1)
+
+    def mk_state():
+        return create_train_state(model, cfg, args, jax.random.PRNGKey(0),
+                                  10)
+
+    step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    got, m = step(mk_state(), raw, rng)
+
+    state0 = mk_state()
+    rngs = jax.random.split(rng, 2)
+    bs, gsum = state0.batch_stats, None
+
+    def loss_fn(p, bs, mb, r):
+        out, new_bs = _forward(model.apply, p, bs, mb, cfg, True, r)
+        l = compute_losses(out, mb, cfg)
+        return l["loss"], new_bs
+
+    for i in range(2):
+        raw_i = jax.tree.map(lambda a: a[4 * i:4 * (i + 1)], raw)
+        _, fwd_rng = jax.random.split(rngs[i])   # grad_one's aug/fwd split
+        mb = preprocess_batch(raw_i, **pp_kwargs)
+        (_, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state0.params, bs, mb, fwd_rng)
+        gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+    grads = jax.tree.map(lambda x: x / 2, gsum)
+    want = state0.apply_gradients(grads=grads).replace(batch_stats=bs)
+
+    # measured jit-vs-eager chaos band of the BN stack (~0.4% on loss);
+    # exact machinery is pinned by test_accum_grads_machinery_exact
+    for a, b in zip(jax.tree.leaves(got.params), jax.tree.leaves(want.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+    with pytest.raises(ValueError, match="grad_accum=3 does not divide"):
+        bad = make_fused_train_step(model, cfg.replace(grad_accum=3),
+                                    preprocess_batch, pp_kwargs)
+        bad(mk_state(), raw, rng)
 
 
 def test_preemption_checkpoint_and_resume(tmp_path):

@@ -57,8 +57,7 @@ def main():
     for B in [int(b) for b in args.batches.split(",")]:
         try:
             _sweep_one(args, ds, B)
-        except Exception as e:      # OOM can hit the eager setup too (the
-            # b1024 scoremap alone is 5.6 GB f32 before the model runs)
+        except Exception as e:      # genuine step/pipe OOM at huge batches
             print(json.dumps({"batch": B, "error": type(e).__name__,
                               "remat": args.remat}), flush=True)
 
@@ -78,7 +77,11 @@ def _sweep_one(args, ds, B):
     pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                      switch_joint_order=cfg.joint_order_switched)
 
-    batch = jax.tree.map(jnp.asarray, preprocess_batch(raw, **pp_kwargs))
+    # init from a tiny slice: state/variable shapes are batch-independent,
+    # and eagerly preprocessing the FULL batch here is what used to OOM
+    # the b1024 sweep (the sweep then blamed the step; the step fits)
+    small = jax.tree.map(lambda a: a[:8], raw)
+    batch = jax.tree.map(jnp.asarray, preprocess_batch(small, **pp_kwargs))
     inp = model_input(batch, cfg.input_channels)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, inp,
@@ -104,7 +107,8 @@ def _sweep_one(args, ds, B):
     fwd_rate = B * args.iters / (time.perf_counter() - t0)
     fwd_flops = _flops(pipe, raw, jnp.zeros(())) / B
 
-    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(B, 1, -1)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(
+        inp.shape[0], 1, -1)
     sargs = (inp, batch["camera_intrinsic_matrix"],
              batch["keypoint_scale"], batch["keypoint_xyz_root"],
              pose_x0)
