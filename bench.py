@@ -24,6 +24,9 @@ Extra keys in the same JSON object:
   interhand_preproc_plus_infer_img_per_sec  fused InterHand2.6M
                               preprocess + flagship forward, b256
   diffusion_ddim_p50_ms       200-step DDIM sample loop, B=8, p50 latency
+  diffusion_ddim_throughput_b256_samples_per_sec  same loop at B=256
+                              (batched sampling amortises the loop's
+                              tiny-op fixed cost)
   mfu_model_forward / mfu_fused_forward / mfu_train
                               XLA-counted flops / (time * peak bf16 flops)
                               of the model-only, fused-forward, and fused
@@ -294,32 +297,42 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
     return BATCH * iters / best_dt, train_flops
 
 
-def bench_diffusion_p50(cfg):
+def bench_diffusion_p50(cfg, throughput_batch: int = 256):
     from handpose_tpu.nn.diffusion import DiffusionJointEstimation
 
-    B = 8
-    dje = DiffusionJointEstimation(
-        keypoint_num=cfg.keypoint_num,
-        condition_feat_dim=cfg.condition_feat_dim,
-        num_timesteps=cfg.num_timesteps,
-        num_sampling_timesteps=cfg.num_sampling_timesteps)
-    feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
-    x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
-    variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
-                         jax.random.PRNGKey(1))
+    def make_sampler(B):
+        dje = DiffusionJointEstimation(
+            keypoint_num=cfg.keypoint_num,
+            condition_feat_dim=cfg.condition_feat_dim,
+            num_timesteps=cfg.num_timesteps,
+            num_sampling_timesteps=cfg.num_sampling_timesteps)
+        feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
+        x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
+        variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
+                             jax.random.PRNGKey(1))
 
-    @jax.jit
-    def sample(rng):
-        return dje.apply(variables, feat, rng, method=dje.sample)
+        @jax.jit
+        def sample(rng):
+            return dje.apply(variables, feat, rng, method=dje.sample)
 
-    _sync(sample(jax.random.PRNGKey(2)))        # compile
-    lat = []
-    for i in range(9):
-        rng = jax.random.PRNGKey(3 + i)
-        t0 = time.perf_counter()
-        _sync(sample(rng))
-        lat.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(lat)
+        return sample
+
+    def p50(sample, iters):
+        _sync(sample(jax.random.PRNGKey(2)))        # compile
+        lat = []
+        for i in range(iters):
+            rng = jax.random.PRNGKey(3 + i)
+            t0 = time.perf_counter()
+            _sync(sample(rng))
+            lat.append((time.perf_counter() - t0) * 1e3)
+        return statistics.median(lat)
+
+    lat_b8 = p50(make_sampler(8), 9)
+    # serving-envelope companion: batched sampling amortises the DDIM
+    # loop's tiny-op fixed cost (the loop is ~600 HLOs/step, see
+    # tools/profile_train_step.py --program ddim)
+    tp_p50 = p50(make_sampler(throughput_batch), 5)
+    return lat_b8, throughput_batch / (tp_p50 / 1e3)
 
 
 def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
@@ -384,7 +397,7 @@ def main():
     mfu_model_fwd = (model_flops / BATCH) * model_rate / PEAK_BF16_FLOPS
     mfu_fused_fwd = (fwd_flops / BATCH) * resident / PEAK_BF16_FLOPS
     mfu_train = (train_flops / BATCH) * train_img_s / PEAK_BF16_FLOPS
-    ddim_p50 = bench_diffusion_p50(cfg)
+    ddim_p50, ddim_tp = bench_diffusion_p50(cfg)
 
     print(json.dumps({
         # BASELINE.md target: RHD preprocessing+inference >5k img/s/chip.
@@ -419,6 +432,7 @@ def main():
                           f"preprocess (auto pad, bbox crop) + flagship "
                           f"forward, device-resident b{BATCH}",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
+        "diffusion_ddim_throughput_b256_samples_per_sec": round(ddim_tp, 1),
         "mfu_model_forward": round(mfu_model_fwd, 4),
         "mfu_fused_forward": round(mfu_fused_fwd, 4),
         "mfu_train": round(mfu_train, 4),

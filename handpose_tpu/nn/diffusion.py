@@ -338,7 +338,8 @@ class GaussianDiffusion1D:
     def __init__(self, seq_length: int, channels: int = 1,
                  timesteps: int = 1000, sampling_timesteps: int | None = None,
                  objective: str = "pred_noise", beta_schedule: str = "cosine",
-                 ddim_sampling_eta: float = 0.0, auto_normalize: bool = True):
+                 ddim_sampling_eta: float = 0.0, auto_normalize: bool = True,
+                 scan_unroll: int = 1):
         self.seq_length = seq_length
         self.channels = channels
         self.num_timesteps = timesteps
@@ -350,6 +351,11 @@ class GaussianDiffusion1D:
         self.objective = objective
         self.sched = DiffusionSchedule(timesteps, beta_schedule, objective)
         self.auto_normalize = auto_normalize
+        # sampling-loop unroll factor: the denoise step is ~600 tiny HLOs
+        # (on-chip profile, NOTES_r3.md), so per-iteration loop overhead
+        # is a real cost; unrolling lets XLA schedule k steps together.
+        # Semantics-preserving (same math, program structure only).
+        self.scan_unroll = scan_unroll
 
     # -- value transforms ---------------------------------------------------
     def normalize(self, x):
@@ -478,7 +484,8 @@ class GaussianDiffusion1D:
             img_next = jnp.where(time_next < 0, x_start, img_next)
             return img_next, None
 
-        img, _ = jax.lax.scan(step, img0, (jnp.asarray(pairs), step_rngs))
+        img, _ = jax.lax.scan(step, img0, (jnp.asarray(pairs), step_rngs),
+                              unroll=self.scan_unroll)
         return self.unnormalize(img)
 
     def p_sample_loop(self, denoise_fn, shape, condition, rng,
@@ -501,7 +508,8 @@ class GaussianDiffusion1D:
             img_next = jnp.where(t_scalar > 0, img_next, mean)
             return img_next, None
 
-        img, _ = jax.lax.scan(step, img0, (ts, step_rngs))
+        img, _ = jax.lax.scan(step, img0, (ts, step_rngs),
+                              unroll=self.scan_unroll)
         return self.unnormalize(img)
 
     def sample(self, denoise_fn, batch_size, condition, rng,
@@ -521,6 +529,7 @@ class DiffusionJointEstimation(nn.Module):
     num_timesteps: int = 400
     num_sampling_timesteps: int = 200
     dim: int = 64
+    sampler_unroll: int = 1
 
     def setup(self):
         self.unet = Unet1D(dim=self.dim, dim_mults=(1, 2, 4, 8), channels=1,
@@ -528,7 +537,8 @@ class DiffusionJointEstimation(nn.Module):
         self.diffusion = GaussianDiffusion1D(
             seq_length=self.keypoint_num * 3, channels=1,
             timesteps=self.num_timesteps,
-            sampling_timesteps=self.num_sampling_timesteps)
+            sampling_timesteps=self.num_sampling_timesteps,
+            scan_unroll=self.sampler_unroll)
 
     def _denoise(self, x, t, condition):
         return self.unet(x, t, condition)

@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Profile the PRODUCTION fused train step on the real accelerator.
+"""Profile the PRODUCTION fused train or inference step on the chip.
 
-Captures a ``jax.profiler`` trace of the Worker's actual step program
-(raw batch -> device preprocess + forward + backward + Adam in one XLA
-program, train/steps.py::make_fused_train_step) and prints the top time
-sinks by aggregating op self-times from the xplane proto
-(tensorboard-plugin-profile's pure-protobuf reader; no TF needed).
+Captures a ``jax.profiler`` trace of the actual production program --
+``--program train``: the Worker's fused step (raw batch -> device
+preprocess + forward + backward + Adam in one XLA program,
+train/steps.py::make_fused_train_step); ``--program infer``: the
+serving program (bench.make_fused_infer_pipe, raw batch -> preprocess +
+flagship forward) -- and prints the top time sinks by aggregating op
+self-times from the xplane proto (tensorboard-plugin-profile's
+pure-protobuf reader; no TF needed).
 
-Usage:  python tools/profile_train_step.py [--batch 256] [--steps 10]
-        [--out /tmp/hpt_profile]
+Usage:  python tools/profile_train_step.py [--program train|infer]
+        [--batch 256] [--steps 10] [--out /tmp/hpt_profile]
 The raw trace stays on disk for TensorBoard's profile plugin.
 """
 
@@ -26,6 +29,85 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def capture_infer(batch: int, steps: int, out_dir: str) -> None:
+    """Trace the serving program: fused preprocess + flagship forward."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from handpose_tpu.config import Config
+    from handpose_tpu.data.preprocess import model_input
+    from handpose_tpu.data.synthetic import fake_sample_batch
+    from handpose_tpu.models import build_model
+
+    cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
+                 batch_size=batch)
+    model = build_model(cfg)
+    warm = fake_sample_batch(batch, cfg.crop_size, cfg.input_channels,
+                             seed=0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, model_input(warm, 21),
+        warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
+        warm["keypoint_xyz_root"], train=False)
+    ds = bench._bench_dataset()
+    raw = jax.device_put(ds.raw_batch([i % bench.N_SAMPLES
+                                       for i in range(batch)]))
+    pipe = bench.make_fused_infer_pipe(cfg, model, variables)
+
+    carry = pipe(raw, jnp.zeros(()))       # compile outside the trace
+    float(np.asarray(carry))
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            carry = pipe(raw, carry)
+        float(np.asarray(carry))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        carry = pipe(raw, carry)
+    float(np.asarray(carry))
+    dt = (time.perf_counter() - t0) / steps
+    print(f"# infer {dt * 1e3:.2f} ms untraced "
+          f"({batch / dt:.0f} img/s)", file=sys.stderr)
+
+
+def capture_ddim(batch: int, steps: int, out_dir: str) -> None:
+    """Trace the jitted 200-step DDIM sample loop (the serving-latency
+    headline, bench.bench_diffusion_p50's program) at --batch (default 8
+    there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handpose_tpu.config import Config
+    from handpose_tpu.nn.diffusion import DiffusionJointEstimation
+
+    cfg = Config(model_name="DiffusionHandPose", input_channels=3)
+    dje = DiffusionJointEstimation(
+        keypoint_num=cfg.keypoint_num,
+        condition_feat_dim=cfg.condition_feat_dim,
+        num_timesteps=cfg.num_timesteps,
+        num_sampling_timesteps=cfg.num_sampling_timesteps)
+    feat = jnp.zeros((batch, cfg.condition_feat_dim), jnp.float32)
+    x0 = jnp.zeros((batch, 1, cfg.keypoint_num * 3), jnp.float32)
+    variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
+                         jax.random.PRNGKey(1))
+
+    @jax.jit
+    def sample(rng):
+        return dje.apply(variables, feat, rng, method=dje.sample)
+
+    float(np.asarray(sample(jax.random.PRNGKey(2))).sum())   # compile
+    with jax.profiler.trace(out_dir):
+        for i in range(steps):
+            out = sample(jax.random.PRNGKey(3 + i))
+        float(np.asarray(out).sum())
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = sample(jax.random.PRNGKey(3 + i))
+    float(np.asarray(out).sum())
+    dt = (time.perf_counter() - t0) / steps
+    print(f"# ddim sample {dt * 1e3:.2f} ms untraced (b{batch})",
+          file=sys.stderr)
 
 
 def capture(batch: int, steps: int, out_dir: str) -> None:
@@ -122,6 +204,8 @@ def top_ops(out_dir: str, k: int = 15):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--program", choices=("train", "infer", "ddim"),
+                    default="train")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/hpt_profile")
@@ -129,7 +213,9 @@ def main():
                     help="skip capture; parse an existing trace dir")
     args = ap.parse_args()
     if not args.parse_only:
-        capture(args.batch, args.steps, args.out)
+        {"train": capture, "infer": capture_infer,
+         "ddim": capture_ddim}[args.program](
+            args.batch, args.steps, args.out)
     ranked, total = top_ops(args.out)
     print(json.dumps({
         "trace_dir": args.out,
