@@ -262,7 +262,7 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
 
     BATCH = batch_size or globals()["BATCH"]
     ds = _bench_dataset()
-    raw = jax.device_put(ds.raw_batch([i % N_SAMPLES for i in range(BATCH)]))
+    raw = jax.device_put(ds.raw_batch([i % len(ds) for i in range(BATCH)]))
     pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                      switch_joint_order=cfg.joint_order_switched)
     # init from a tiny slice: state shapes are batch-independent, and
@@ -271,7 +271,8 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
     small = jax.tree.map(lambda a: a[:8], raw)
     batch = jax.tree.map(jnp.asarray, preprocess_batch(small, **pp_kwargs))
     inp = model_input(batch, cfg.input_channels)
-    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(
+        inp.shape[0], 1, -1)
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
             batch["keypoint_xyz_root"], pose_x0)
     state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
@@ -332,7 +333,7 @@ def bench_diffusion_p50(cfg, throughput_batch: int = 256):
     # loop's tiny-op fixed cost (the loop is ~600 HLOs/step, see
     # tools/profile_train_step.py --program ddim)
     tp_p50 = p50(make_sampler(throughput_batch), 5)
-    return lat_b8, throughput_batch / (tp_p50 / 1e3)
+    return lat_b8, throughput_batch / (tp_p50 / 1e3), throughput_batch
 
 
 def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
@@ -397,7 +398,7 @@ def main():
     mfu_model_fwd = (model_flops / BATCH) * model_rate / PEAK_BF16_FLOPS
     mfu_fused_fwd = (fwd_flops / BATCH) * resident / PEAK_BF16_FLOPS
     mfu_train = (train_flops / BATCH) * train_img_s / PEAK_BF16_FLOPS
-    ddim_p50, ddim_tp = bench_diffusion_p50(cfg)
+    ddim_p50, ddim_tp, ddim_tb = bench_diffusion_p50(cfg)
 
     print(json.dumps({
         # BASELINE.md target: RHD preprocessing+inference >5k img/s/chip.
@@ -432,7 +433,8 @@ def main():
                           f"preprocess (auto pad, bbox crop) + flagship "
                           f"forward, device-resident b{BATCH}",
         "diffusion_ddim_p50_ms": round(ddim_p50, 2),
-        "diffusion_ddim_throughput_b256_samples_per_sec": round(ddim_tp, 1),
+        f"diffusion_ddim_throughput_b{ddim_tb}_samples_per_sec":
+            round(ddim_tp, 1),
         "mfu_model_forward": round(mfu_model_fwd, 4),
         "mfu_fused_forward": round(mfu_fused_fwd, 4),
         "mfu_train": round(mfu_train, 4),

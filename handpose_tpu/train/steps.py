@@ -13,6 +13,7 @@ or across a slice.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Dict
 
@@ -211,14 +212,53 @@ def _eval_metrics(out, batch, cfg: Config, pck_thresholds=None):
     return metrics
 
 
+def _accum_eval(metrics_one, data, rng, k: int):
+    """Eval metrics over ``data``, microbatched like :func:`_accum_grads`
+    (``cfg.grad_accum``) so validation survives the same batch sizes the
+    accumulated train step does.  ``_sum``/``_count`` keys add across
+    microbatches (the Worker's exact epoch aggregation path); per-batch
+    means (losses, mpjpe) average -- equal-weight mean-of-means, i.e.
+    the same semantics as feeding k separate batches.
+
+    Validation sees the WHOLE split (tail batches smaller than
+    batch_size), so ``k`` degrades to gcd(k, B) of the actual batch dim
+    (trace-time static): a b5 tail under grad_accum=4 runs single-shot
+    rather than erroring.  Worst case an indivisible large tail runs
+    with bigger microbatches than B/k -- if that could exceed HBM, pick
+    batch_size so the split's tail stays divisible."""
+    B = jax.tree.leaves(data)[0].shape[0]
+    k = math.gcd(k, B)
+    if k == 1:
+        return metrics_one(data, rng)
+
+    def split(x):
+        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+    micro = jax.tree.map(split, data)
+    rngs = jax.random.split(rng, k)
+
+    def body(_, xs):
+        data_i, rng_i = xs
+        return None, metrics_one(data_i, rng_i)
+
+    _, stacked = jax.lax.scan(body, None, (micro, rngs))
+    return {key: (jnp.sum(v, axis=0)
+                  if key.endswith(("_sum", "_count"))
+                  else jnp.mean(v, axis=0))
+            for key, v in stacked.items()}
+
+
 def make_eval_step(model, cfg: Config, pck_thresholds=None):
     ts = None if pck_thresholds is None else jnp.asarray(pck_thresholds)
 
     @jax.jit
     def eval_step(state: TrainState, batch, rng):
-        out, _ = _forward(model.apply, state.params, state.batch_stats,
-                          batch, cfg, False, rng)
-        return _eval_metrics(out, batch, cfg, ts)
+        def metrics_one(batch_i, rng_i):
+            out, _ = _forward(model.apply, state.params, state.batch_stats,
+                              batch_i, cfg, False, rng_i)
+            return _eval_metrics(out, batch_i, cfg, ts)
+
+        return _accum_eval(metrics_one, batch, rng, cfg.grad_accum)
 
     return eval_step
 
@@ -271,9 +311,12 @@ def make_fused_eval_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
 
     @jax.jit
     def eval_step(state: TrainState, raw, rng):
-        batch = preprocess_fn(raw, **pp_kwargs)
-        out, _ = _forward(model.apply, state.params, state.batch_stats,
-                          batch, cfg, False, rng)
-        return _eval_metrics(out, batch, cfg, ts)
+        def metrics_one(raw_i, rng_i):
+            batch = preprocess_fn(raw_i, **pp_kwargs)
+            out, _ = _forward(model.apply, state.params, state.batch_stats,
+                              batch, cfg, False, rng_i)
+            return _eval_metrics(out, batch, cfg, ts)
+
+        return _accum_eval(metrics_one, raw, rng, cfg.grad_accum)
 
     return eval_step

@@ -447,6 +447,37 @@ def test_grad_accum_fused_step(tmp_path):
         bad(mk_state(), raw, rng)
 
 
+def test_grad_accum_eval_step_matches_single_shot():
+    """Eval accumulation (steps.py::_accum_eval): grad_accum=2 metrics ==
+    single-shot (eval-mode BN uses running averages, so microbatching
+    cannot change the math beyond reassociation ulps); _sum/_count keys
+    add exactly.  An indivisible tail (b6 under grad_accum=4) degrades
+    to gcd=2 and still runs."""
+    cfg = TINY.replace(compute_dtype="float32")
+    model = build_model(cfg)
+    batch = fake_sample_batch(8, 64, 3, seed=4)
+    inp = model_input(batch, 3)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+    state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
+    rng = jax.random.PRNGKey(1)
+    thresholds = (0.02, 0.05)
+
+    m1 = make_eval_step(model, cfg, thresholds)(state, batch, rng)
+    m2 = make_eval_step(model, cfg.replace(grad_accum=2), thresholds)(
+        state, batch, rng)
+    assert set(m1) == set(m2)
+    for key in m1:
+        np.testing.assert_allclose(np.asarray(m2[key]), np.asarray(m1[key]),
+                                   rtol=1e-4, err_msg=key)
+
+    tail = jax.tree.map(lambda a: a[:6], batch)
+    m3 = make_eval_step(model, cfg.replace(grad_accum=4), thresholds)(
+        state, tail, rng)      # gcd(4, 6) = 2 microbatches of 3
+    assert np.isfinite(float(m3["mpjpe"]))
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """Preemption-safe training (SURVEY.md §5: the reference has no
     failure/recovery mechanism): a SIGTERM-style signal stops the loop at

@@ -18,17 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ab_train_step(field: str, values, baseline: str) -> dict:
     """Measure bench.bench_train_step (fused preprocess+fwd+bwd+Adam,
     bench.BATCH, flagship) for each ``Config.<field> = value``; the
-    ``vs_<baseline>`` key is each rate over the baseline value's rate."""
+    ``vs_<baseline>`` key is each rate over the baseline value's rate.
+
+    Values go through ``apply_overrides`` so they are coerced to the
+    field's declared type -- the CLI path hands in raw strings, and e.g.
+    ``--field remat --values False,True`` must not set the truthy
+    STRING "False" on the baseline arm."""
     import bench
-    from handpose_tpu.config import Config
+    from handpose_tpu.config import Config, apply_overrides
     from handpose_tpu.models import build_model
 
     assert baseline in values, f"baseline {baseline!r} not in {values}"
     results = {}
     for value in values:
-        cfg = Config(model_name="Hand3DPosePriorNetwork",
-                     input_channels=21, batch_size=bench.BATCH,
-                     **{field: value})
+        cfg = apply_overrides(
+            Config(model_name="Hand3DPosePriorNetwork",
+                   input_channels=21, batch_size=bench.BATCH),
+            [f"{field}={value}"])
         model = build_model(cfg)
         rate, flops = bench.bench_train_step(cfg, model)
         results[value] = {

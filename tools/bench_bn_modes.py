@@ -14,7 +14,10 @@ with one HBM read while keeping partition-invariance after warm-up.
 
 import json
 
-from ab_train_step import ab_train_step
+try:                                 # script style: python tools/bench_...
+    from ab_train_step import ab_train_step
+except ImportError:                  # module style: python -m tools.bench_...
+    from tools.ab_train_step import ab_train_step
 
 if __name__ == "__main__":
     print(json.dumps(ab_train_step(

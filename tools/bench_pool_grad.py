@@ -17,7 +17,10 @@ Measured on v5e: argmax is 0.54x native, so 'native' is the default.
 
 import json
 
-from ab_train_step import ab_train_step
+try:                                 # script style: python tools/bench_...
+    from ab_train_step import ab_train_step
+except ImportError:                  # module style: python -m tools.bench_...
+    from tools.ab_train_step import ab_train_step
 
 if __name__ == "__main__":
     print(json.dumps(ab_train_step(

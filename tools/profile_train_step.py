@@ -52,8 +52,7 @@ def capture_infer(batch: int, steps: int, out_dir: str) -> None:
         warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
         warm["keypoint_xyz_root"], train=False)
     ds = bench._bench_dataset()
-    raw = jax.device_put(ds.raw_batch([i % bench.N_SAMPLES
-                                       for i in range(batch)]))
+    raw = jax.device_put(ds.raw_batch([i % len(ds) for i in range(batch)]))
     pipe = bench.make_fused_infer_pipe(cfg, model, variables)
 
     carry = pipe(raw, jnp.zeros(()))       # compile outside the trace
