@@ -135,6 +135,14 @@ class Config:
     # Capability parity is kept (sampling is always available); making it
     # optional per-step is the performance fix SURVEY.md 3.3 calls for.
     diffusion_sample_in_train: bool = True
+    # TPU addition: DDIM/DDPM sampler lax.scan unroll factor.  The denoise
+    # step is ~600 tiny HLOs on (B, 63, C) tensors, so per-step dispatch is
+    # a real cost; unrolling lets XLA schedule k steps together (~10% p50
+    # win at 4 on v5e, tools/bench_ddim_unroll.py).  Numerically identical
+    # up to fusion reassociation (tests/test_diffusion.py::
+    # test_ddim_scan_unroll_equivalent); torch transfer parity re-pinned at
+    # this default (tests/test_model_transfer_parity.py).
+    sampler_unroll: int = 4
 
     # -- MANO (reference config.py:64-68) --
     mano_right_hand_path: str = ""  # resolved by handpose_tpu.nn.mano.find_mano_pkl
@@ -211,6 +219,12 @@ class Config:
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False
+    # persistent XLA compilation cache (jax_compilation_cache_dir): warm
+    # restarts of the same program skip the 20-40 s first-compile cost --
+    # the production serving/preemption-resume fix for cold-start latency.
+    # Empty = disabled.  Applied by Worker/Evaluator via
+    # utils.device_info.enable_compilation_cache.
+    compilation_cache_dir: str = ""
     nan_check: bool = True     # abort on non-finite training loss
     debug_nans: bool = False   # jax_debug_nans (traps the op that made one)
     profile_epoch: int = -1    # capture a jax.profiler trace of this epoch

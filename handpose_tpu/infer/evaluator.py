@@ -50,6 +50,9 @@ class Evaluator:
         if ckpt_path and cfg.model_name is None:
             cfg = cfg.replace(model_name=model_name_from_path(ckpt_path))
         self.cfg = cfg
+        if cfg.compilation_cache_dir:
+            from ..utils.device_info import enable_compilation_cache
+            enable_compilation_cache(cfg.compilation_cache_dir)
         self.model = build_model(cfg, is_inference=True)
         self.eval_step = make_eval_step(self.model, cfg)
         # fused serving path: raw batch -> preprocess + forward + metrics

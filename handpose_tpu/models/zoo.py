@@ -231,7 +231,8 @@ class DiffusionHandPose(nn.Module):
             keypoint_num=self.cfg.keypoint_num,
             condition_feat_dim=self.cfg.condition_feat_dim,
             num_timesteps=self.cfg.num_timesteps,
-            num_sampling_timesteps=self.cfg.num_sampling_timesteps)
+            num_sampling_timesteps=self.cfg.num_sampling_timesteps,
+            sampler_unroll=self.cfg.sampler_unroll)
         self.bone_angle_pred_model = BoneAnglePrediction()
         self.bone_length_pred_model = BoneLengthPrediction()
 

@@ -56,6 +56,9 @@ class Worker:
             # traps the first op producing a NaN (SURVEY.md §5: the
             # sanitizer the reference lacked)
             jax.config.update("jax_debug_nans", True)
+        if cfg.compilation_cache_dir:
+            from ..utils.device_info import enable_compilation_cache
+            enable_compilation_cache(cfg.compilation_cache_dir)
         self.mesh = mesh if mesh is not None else make_mesh(
             shape=cfg.mesh_shape, axis_names=cfg.mesh_axis_names)
         self.model = build_model(cfg)

@@ -104,3 +104,53 @@ def test_device_batches_with_sharding(tmp_path):
     assert sample["image_crop"].shape == (8, 256, 256, 3)
     # batch axis is sharded across the mesh
     assert len(sample["image_crop"].sharding.device_set) == 8
+
+
+def test_compilation_cache_writes_and_hits(tmp_path):
+    """Config.compilation_cache_dir points JAX's persistent compile cache
+    at a directory: compiled programs persist to disk (warm restarts skip
+    the first-compile cost -- the serving/preemption cold-start fix)."""
+    from handpose_tpu.utils.device_info import enable_compilation_cache
+
+    cache = tmp_path / "xla_cache"
+    cache.mkdir()
+    try:
+        enable_compilation_cache(str(cache))
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) @ x.T
+
+        f(jnp.ones((16, 16))).block_until_ready()
+        entries = list(cache.rglob("*"))
+        assert any(p.is_file() for p in entries), \
+            "no cache entry written by a fresh compile"
+
+        # simulate a warm restart: drop the in-memory executable and
+        # re-trace -- the recompile must be served from the persistent
+        # cache (no new entry; the key includes the jit name, so an
+        # identical re-trace of the SAME function is the restart case)
+        n_before = sum(p.is_file() for p in entries)
+        f.clear_cache()
+        f(jnp.ones((16, 16))).block_until_ready()
+        n_after = sum(p.is_file() for p in cache.rglob("*"))
+        assert n_after == n_before
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_worker_enables_compilation_cache(tmp_path):
+    """The Worker applies cfg.compilation_cache_dir before compiling."""
+    cache = tmp_path / "cc"
+    cache.mkdir()
+    from handpose_tpu.train.trainer import Worker
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", use_fake_data=True,
+                 dataset_name="synthetic", batch_size=2, max_epoch=1,
+                 input_img_shape=(64, 64), sigma=5.0,
+                 compilation_cache_dir=str(cache))
+    try:
+        Worker(cfg, run_dir=str(tmp_path / "run"))
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

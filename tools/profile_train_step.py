@@ -85,7 +85,8 @@ def capture_ddim(batch: int, steps: int, out_dir: str) -> None:
         keypoint_num=cfg.keypoint_num,
         condition_feat_dim=cfg.condition_feat_dim,
         num_timesteps=cfg.num_timesteps,
-        num_sampling_timesteps=cfg.num_sampling_timesteps)
+        num_sampling_timesteps=cfg.num_sampling_timesteps,
+        sampler_unroll=cfg.sampler_unroll)
     feat = jnp.zeros((batch, cfg.condition_feat_dim), jnp.float32)
     x0 = jnp.zeros((batch, 1, cfg.keypoint_num * 3), jnp.float32)
     variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
