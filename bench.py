@@ -17,6 +17,13 @@ framework amortises decode once into a uint8 memmap cache).
 Extra keys in the same JSON object:
   e2e_host_to_infer_img_per_sec  fresh batches: host read + H2D + fused
                                  preprocess + forward
+  host_native_decode_img_per_sec / host_read_img_per_sec /
+  h2d_gbytes_per_sec / h2d_img_per_sec / e2e_bottleneck
+                              the fresh-batch path decomposed per stage,
+                              each measured alone; e2e_bottleneck names
+                              the argmin stage
+  b1_network_rtt_ms           measured 4-byte D2H round trip (the tunnel
+                              component inside infer_latency_p50_ms_b1)
   train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), bBATCH
   infer_latency_p50_ms_b1     single-image fused preprocess+forward
   infer_latency_amortised_ms_b1  same program, 30 chained calls + one
@@ -177,6 +184,66 @@ def bench_e2e(cfg, model, variables):
     return e2e, resident, fwd_flops, model_rate, model_flops
 
 
+def bench_host_path(ds, n_img: int = BATCH):
+    """Decompose the fresh-batch path into its stages, measured ALONE:
+
+      host_native_decode_img_per_sec  PNG -> uint8 via the native batched
+                                      decoder (the cache-build tier; the
+                                      epoch path reads the memmap instead)
+      host_read_img_per_sec           memmap read + batch collate
+                                      (RHDDataset.raw_batch, fresh indices)
+      h2d_gbytes_per_sec              device_put of a collated raw batch,
+                                      realised via a device add + fetch
+
+    The e2e number equals roughly min(these, device compute) -- this
+    names the bottleneck from measurement instead of assertion."""
+    from handpose_tpu.data import native_decode
+
+    idx0 = [i % len(ds) for i in range(n_img)]
+    raw0 = ds.raw_batch(idx0)
+    H, W = raw0.image.shape[1:3]
+
+    decode_rate = float("nan")
+    if native_decode.is_available():
+        paths = [ds._paths(i % len(ds))[0] for i in range(n_img)]
+        buf = np.empty((n_img, H, W, 3), np.uint8)
+        native_decode.decode_batch(paths, H, W, 3, 8, out=buf)  # warm cache
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            native_decode.decode_batch(paths, H, W, 3, 8, out=buf)
+        decode_rate = n_img * reps / (time.perf_counter() - t0)
+
+    # memmap read + collate, fresh (shifted) indices each rep so the
+    # slice pattern matches an epoch's, not one hot cached batch
+    reps = 4
+    t0 = time.perf_counter()
+    for r in range(1, reps + 1):
+        ds.raw_batch([(i + r * n_img) % len(ds) for i in range(n_img)])
+    read_rate = n_img * reps / (time.perf_counter() - t0)
+
+    # H2D: alternate two distinct host batches (jax caches nothing across
+    # device_put of ndarrays, but alternating also defeats any OS-level
+    # page reuse); a tiny device-side add + 4-byte fetch realises the
+    # transfer (axon's device_put has returned early before)
+    raw1 = ds.raw_batch([(i + n_img) % len(ds) for i in range(n_img)])
+    nbytes = sum(np.asarray(a).nbytes for a in raw0)
+
+    def touch(dev):
+        # a value depending on EVERY transferred buffer, fetched to host
+        # (block_until_ready has returned early through the tunnel before)
+        _sync(sum(jnp.ravel(a)[0].astype(jnp.float32) for a in dev))
+
+    for r in (raw0, raw1):                       # warm the transfer path
+        touch(jax.device_put(r))
+    reps, t0 = 4, time.perf_counter()
+    for i in range(reps):
+        touch(jax.device_put(raw0 if i % 2 == 0 else raw1))
+    dt = time.perf_counter() - t0
+    return decode_rate, read_rate, nbytes * reps / dt / 1e9, \
+        n_img * reps / dt
+
+
 def bench_b1_latency(cfg, model, variables):
     """Single-image serving latency: raw sample -> fused preprocess +
     flagship forward, p50 over individual (chained) iterations.
@@ -205,7 +272,19 @@ def bench_b1_latency(cfg, model, variables):
         carry = pipe1(raw, carry)
     _sync(carry)
     amortised = (time.perf_counter() - t0) / iters * 1e3
-    return statistics.median(lat), amortised
+
+    # network round trip alone: D2H fetch of an already-computed 4-byte
+    # scalar (fresh array each time -- jax caches a fetched ._npy_value).
+    # Through the axon tunnel this dominates the per-call p50; reported
+    # separately so the p50 key tracks the DEVICE across rounds.
+    scalars = [jnp.full((), float(i)) for i in range(15)]
+    jax.block_until_ready(scalars)
+    rtt = []
+    for s in scalars:
+        t0 = time.perf_counter()
+        float(np.asarray(s))
+        rtt.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat), amortised, statistics.median(rtt)
 
 
 def bench_interhand(cfg, model, variables):
@@ -385,7 +464,9 @@ def main():
 
     e2e, resident, fwd_flops, model_rate, model_flops = \
         bench_e2e(cfg, model, variables)
-    b1_p50, b1_amortised = bench_b1_latency(cfg, model, variables)
+    decode_rate, read_rate, h2d_gbs, h2d_img_s = \
+        bench_host_path(_bench_dataset())
+    b1_p50, b1_amortised, b1_rtt = bench_b1_latency(cfg, model, variables)
     ih_rate = bench_interhand(cfg, model, variables)
     train_img_s, train_flops = bench_train_step(cfg, model)
     # MFU from device-resident rates: e2e is H2D-transfer-bound through
@@ -413,10 +494,22 @@ def main():
                          "on its A100 node); ours is the fused on-chip "
                          f"preprocess+forward program at b{BATCH}",
         "e2e_host_to_infer_img_per_sec": round(e2e, 1),
-        "e2e_note": "fresh batches: memmap read + H2D + preprocess + "
-                    "forward; transfer-bound through the axon tunnel "
-                    "(~35 MB/s real H2D, realised at execution) -- on a "
-                    "PCIe-attached v5e host this path is compute-bound",
+        # stage decomposition, each measured ALONE (bench_host_path):
+        # the smallest stage rate names the e2e bottleneck from
+        # measurement, not assertion
+        "host_native_decode_img_per_sec": round(decode_rate, 1),
+        "host_read_img_per_sec": round(read_rate, 1),
+        "h2d_gbytes_per_sec": round(h2d_gbs, 3),
+        "h2d_img_per_sec": round(h2d_img_s, 1),
+        "e2e_bottleneck": min(
+            (("h2d", h2d_img_s), ("host_read", read_rate),
+             ("device_compute", resident)), key=lambda kv: kv[1])[0],
+        "e2e_note": "fresh batches: memmap read + H2D + fused preprocess "
+                    "+ forward; e2e_bottleneck is the argmin of the "
+                    "measured stage rates (host_read_img_per_sec, "
+                    "h2d_img_per_sec, the device-resident rate) -- "
+                    "native decode is the cache-BUILD tier, not on the "
+                    "epoch path",
         "train_step_img_per_sec": round(train_img_s, 1),
         "train_note": "fused production step: raw batch -> preprocess + "
                       f"fwd + bwd + Adam in one program, b{BATCH} bf16, "
@@ -424,10 +517,13 @@ def main():
                       "bn_fast_variance=True adds ~7.6%",
         "infer_latency_p50_ms_b1": round(b1_p50, 2),
         "infer_latency_amortised_ms_b1": round(b1_amortised, 2),
+        "b1_network_rtt_ms": round(b1_rtt, 2),
         "b1_note": "p50 is single-image fused preprocess+forward incl. one "
-                   "host fetch per call -- through the axon tunnel this is "
-                   "dominated by the network round trip; amortised chains "
-                   "30 dependent calls with ONE final fetch, i.e. per-call "
+                   "host fetch per call; b1_network_rtt_ms is the measured "
+                   "4-byte D2H round trip alone (through the axon tunnel "
+                   "it dominates the p50 -- track p50 minus rtt across "
+                   "rounds for the device); amortised chains 30 dependent "
+                   "calls with ONE final fetch, i.e. per-call "
                    "device+dispatch time (what PCIe-local serving sees)",
         "interhand_preproc_plus_infer_img_per_sec": round(ih_rate, 1),
         "interhand_note": "second dataset family: fused InterHand2.6M "

@@ -184,7 +184,13 @@ class Config:
     train_batch_size: int = 200
     val_batch_size: int = 200
     test_batch_size: int = 20
-    trans_test: str = "rootnet"    # 'gt' | 'rootnet'
+    # 'gt' | 'rootnet'.  Deliberate default divergence: the reference
+    # defaults to 'rootnet' (config.py:129) but crashes on a missing
+    # rootnet_output json (dataloaderInterHand2M6.py:79, bare open); we
+    # default to 'gt' (the behaviour every tree without the external
+    # rootnet artifact gets) and RAISE when 'rootnet' is requested but
+    # the json is absent -- never a silent GT fallback.
+    trans_test: str = "gt"
     # which InterHand split the Evaluator consumes ('val' | 'test'; the
     # reference evaluates val during training and test via its harness)
     interhand_eval_split: str = "val"

@@ -96,12 +96,17 @@ class InterHandDataset:
         if set_type in ("val", "test") and trans_test == "rootnet":
             p = osp.join(root_dir, "rootnet_output",
                          f"rootnet_interhand2.6m_output_{set_type}.json")
-            if osp.exists(p):
-                with open(p) as f:
-                    rootnet = {str(a["annot_id"]): a for a in json.load(f)}
-            else:
-                print(f"rootnet output {p} not found; "
-                      "falling back to GT bboxes")
+            if not osp.exists(p):
+                # the reference crashes on a missing file
+                # (dataloaderInterHand2M6.py:79, bare open); a silent GT
+                # fallback would misreport a rootnet eval as a GT-bbox
+                # eval, so refuse loudly instead
+                raise FileNotFoundError(
+                    f"trans_test='rootnet' but {p} does not exist; "
+                    "provide the rootnet output json or use "
+                    "trans_test='gt'")
+            with open(p) as f:
+                rootnet = {str(a["annot_id"]): a for a in json.load(f)}
 
         self.datalist = []
         cap = _FAST_CAPS[set_type] if fast_trainval else None
@@ -137,18 +142,26 @@ class InterHandDataset:
             joint_valid[21:] *= joint_valid[self.root_joint_idx["left"]]
             hand_type = ann["hand_type"]
             if rootnet is not None:
+                # rootnet bboxes arrive already expanded/aspect-corrected
+                # (reference dataloaderInterHand2M6.py:123-125 uses them
+                # verbatim, no process_bbox); abs_depth [right, left] mm
                 bbox = np.array(rootnet[str(ann["id"])]["bbox"], np.float32)
+                abs_depth = np.array(rootnet[str(ann["id"])]["abs_depth"],
+                                     np.float32)
             else:
                 bbox = process_bbox(np.array(ann["bbox"], np.float32),
                                     (img["height"], img["width"]),
                                     input_img_shape)
+                abs_depth = np.array(
+                    [joint_cam[self.root_joint_idx["right"], 2],
+                     joint_cam[self.root_joint_idx["left"], 2]], np.float32)
             self.datalist.append({
                 "img_path": osp.join(self.img_path, set_type,
                                      img["file_name"]),
                 "focal": focal, "princpt": princpt,
                 "joint_cam": joint_cam, "joint_img": joint_img,
                 "joint_valid": joint_valid, "hand_type": hand_type,
-                "bbox": bbox,
+                "bbox": bbox, "abs_depth": abs_depth,
                 "width": img["width"], "height": img["height"],
             })
         if pad_to == "auto" and self.datalist:
@@ -332,3 +345,30 @@ def write_synthetic_interhand(root_dir: str, set_type: str = "val",
         f.write("# joint_name joint_id parent_id\n")
         for j in range(42):
             f.write(f"j{j} {j} {max(j - 1, -1)}\n")
+
+
+def write_synthetic_rootnet(root_dir: str, set_type: str = "val",
+                            seed: int = 0) -> str:
+    """Write a rootnet-output json matching an existing synthetic tree.
+
+    Mirrors the record shape the reference consumes
+    (dataloaderInterHand2M6.py:76-85,123-125: a list of
+    ``{annot_id, bbox, abs_depth=[right, left]}``).  The bboxes are
+    deliberately DISTINCT from the GT ``process_bbox`` ones so tests can
+    assert which source the loader picked.  Returns the json path."""
+    ann_path = osp.join(root_dir, "annotations", set_type,
+                        f"InterHand2.6M_{set_type}_data.json")
+    with open(ann_path) as f:
+        anns = json.load(f)["annotations"]
+    rng = np.random.default_rng(seed)
+    out = [{"annot_id": a["id"],
+            "bbox": [7.0 + a["id"], 11.0 + a["id"], 96.0, 128.0],
+            "abs_depth": [float(rng.uniform(400, 800)),
+                          float(rng.uniform(400, 800))]}
+           for a in anns]
+    out_dir = osp.join(root_dir, "rootnet_output")
+    os.makedirs(out_dir, exist_ok=True)
+    p = osp.join(out_dir, f"rootnet_interhand2.6m_output_{set_type}.json")
+    with open(p, "w") as f:
+        json.dump(out, f)
+    return p

@@ -21,17 +21,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_dp_tp_mesh(n_devices: int,
-                    devices: Sequence | None = None) -> Mesh:
-    """Mesh of shape (dp, tp): tp=2 when n is an even >=4, else tp=1."""
+                    devices: Sequence | None = None,
+                    tp: int | None = None) -> Mesh:
+    """Mesh of shape (dp, tp).
+
+    ``tp=None`` (default) auto-picks: tp=2 when n is an even >=4, else
+    tp=1.  Pass tp explicitly to pin the layout (the scaling diagnostics
+    compare dp-only vs dp x tp collective schedules this way)."""
     devices = list(devices if devices is not None else jax.devices())
     devices = devices[:n_devices]
     if len(devices) < n_devices:
         raise ValueError(
             f"need {n_devices} devices, have {len(devices)}")
-    if n_devices % 2 == 0 and n_devices >= 4:
-        arr = np.asarray(devices).reshape(n_devices // 2, 2)
-    else:
-        arr = np.asarray(devices).reshape(n_devices, 1)
+    if tp is None:
+        tp = 2 if (n_devices % 2 == 0 and n_devices >= 4) else 1
+    if n_devices % tp != 0:
+        raise ValueError(f"tp={tp} does not divide n_devices={n_devices}")
+    arr = np.asarray(devices).reshape(n_devices // tp, tp)
     return Mesh(arr, ("data", "model"))
 
 

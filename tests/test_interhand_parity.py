@@ -251,3 +251,44 @@ def test_worker_wires_pad_and_cache(tmp_path):
     assert w.val_ds.pad_to == (320, 320)
     shapes = {raw.image.shape for raw in w.train_ds.batches(2)}
     assert len(shapes) == 1
+
+
+def test_rootnet_bbox_switch(tmp_path):
+    """trans_test='rootnet' must take bboxes/abs_depth from the rootnet
+    output json VERBATIM (reference dataloaderInterHand2M6.py:123-125),
+    trans_test='gt' from process_bbox of the GT annotation (:126-129),
+    and a missing rootnet file must raise, never silently degrade to a
+    GT-bbox eval."""
+    from handpose_tpu.data.interhand import (InterHandDataset,
+                                             write_synthetic_interhand,
+                                             write_synthetic_rootnet)
+
+    root = tmp_path / "ih_rootnet"
+    write_synthetic_interhand(str(root), "val", n=4, seed=3)
+
+    # missing rootnet json -> loud failure
+    with pytest.raises(FileNotFoundError, match="rootnet"):
+        InterHandDataset(str(root), "val", trans_test="rootnet")
+
+    import json
+    import os.path as osp
+    p = write_synthetic_rootnet(str(root), "val")
+    with open(p) as f:
+        rn = {a["annot_id"]: a for a in json.load(f)}
+
+    rds = InterHandDataset(str(root), "val", trans_test="rootnet")
+    gds = InterHandDataset(str(root), "val", trans_test="gt")
+    assert len(rds) == len(gds) == 4
+    for i, (r, g) in enumerate(zip(rds.datalist, gds.datalist)):
+        np.testing.assert_allclose(r["bbox"], rn[i]["bbox"])
+        np.testing.assert_allclose(r["abs_depth"], rn[i]["abs_depth"])
+        # the two sources genuinely differ on this tree
+        assert not np.allclose(r["bbox"], g["bbox"])
+        # GT abs_depth = per-hand root depth in camera frame (:129)
+        np.testing.assert_allclose(
+            g["abs_depth"], [g["joint_cam"][20, 2], g["joint_cam"][41, 2]])
+
+    # rootnet applies only to val/test; train always uses GT bboxes
+    write_synthetic_interhand(str(root), "train", n=2, seed=4)
+    tds = InterHandDataset(str(root), "train", trans_test="rootnet")
+    assert len(tds) == 2

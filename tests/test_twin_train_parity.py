@@ -56,7 +56,14 @@ def _check_chaotic(res, val_margin=5.0, val_floor=0.01):
     fail it against itself); the honest assertions are (a) exact
     lockstep at step 1, before any amplification, and (b) torch-vs-JAX
     divergence inside the measured chaos band -- a semantic bug would
-    push it far above what a 1e-6 perturbation produces."""
+    push it far above what a 1e-6 perturbation produces.
+
+    The band is measured from a shadow ENSEMBLE when the caller passes
+    shadow_seeds>1 (independently-perturbed inits): one shadow draw is
+    one sample of a chaotic band, so the bound uses the ensemble max,
+    and the margin shrinks with the ensemble size (a 5-seed max is
+    already near the band edge; 5x a single draw over-penalises a lucky
+    small draw and under-penalises nothing)."""
     import numpy as np
 
     assert res["steps"] >= 100
@@ -68,11 +75,14 @@ def _check_chaotic(res, val_margin=5.0, val_floor=0.01):
     # happens to land small (XLA CPU runs are not bit-deterministic, so
     # the shadow band is itself a random variable), 5x a lucky draw can
     # undercut the loop's own re-run spread.  Callers raise the floor to
-    # the observed cross-run spread for that family; step-1 lockstep
-    # above still catches any direct semantic divergence.
+    # the observed cross-run spread for that family, or pass
+    # shadow_seeds>=5 so the ensemble max bounds the band directly;
+    # step-1 lockstep above still catches any direct semantic
+    # divergence.
     bound = max(val_floor, val_margin * res["shadow_max_epoch_val_rel_diff"])
     assert res["max_epoch_val_rel_diff"] <= bound, (
-        res["max_epoch_val_rel_diff"], bound)
+        res["max_epoch_val_rel_diff"], bound,
+        res.get("shadow_ensemble_val_rel_diff"))
 
 
 def test_twin_training_convergence_fk():
@@ -89,10 +99,11 @@ def test_twin_training_convergence_flagship():
     branch cuts, and the measured shadow divergence (1.45% val at 100
     steps from a 1e-6 perturbation) brackets the torch-vs-JAX 1.37% --
     the loop tracks torch as closely as it tracks itself.  Early
-    lockstep is exact (mean 1.3e-4 over the first 10 steps)."""
+    lockstep is exact (mean 1.3e-4 over the first 10 steps).  3-seed
+    shadow ensemble (cheap here; the band is ~1.5%)."""
     _check_chaotic(_run("Hand3DPosePriorNetwork", n_train=200, n_val=48,
                         batch_size=4, epochs=2, crop=64, seed=0,
-                        shadow=True))
+                        shadow=True, shadow_seeds=3))
 
 
 def test_twin_training_convergence_diffusion():
@@ -126,10 +137,18 @@ def test_twin_training_convergence_uv_fk():
     the measured shadow divergence (JAX vs 1e-6-perturbed JAX) is tens
     of percent at 100 steps -- same band as torch-vs-JAX -- so lockstep
     1% is unattainable for ANY framework pair here; see
-    _check_chaotic."""
+    _check_chaotic.
+
+    This family has the widest band of the ten (single-draw shadows
+    observed 17-26% vs torch-vs-JAX 37-48%), so the bound comes from a
+    5-SEED shadow ensemble max with margin 2.5x -- tighter in expectation
+    than 5x a single draw, and a direct answer to whether 48% is chaos
+    or semantics (the 5-seed ensemble measured on this config:
+    docs/TWIN_PARITY.json `uv_fk_shadow5`)."""
     _check_chaotic(_run("TwoDimHandPoseWithFK", n_train=200, n_val=48,
                         batch_size=4, epochs=2, crop=64, feat_dim=128,
-                        seed=0, shadow=True))
+                        seed=0, shadow=True, shadow_seeds=5),
+                   val_margin=2.5)
 
 
 def test_twin_training_convergence_direct3d():

@@ -158,8 +158,11 @@ def capture(batch: int, steps: int, out_dir: str) -> None:
           f"({batch / dt:.0f} img/s)", file=sys.stderr)
 
 
-def top_ops(out_dir: str, k: int = 15):
-    """Aggregate per-op self time from the device plane of the xplane."""
+def top_ops(out_dir: str, k: int = 15, per_hlo: bool = False):
+    """Aggregate per-op self time from the device plane of the xplane.
+
+    ``per_hlo=True`` keeps each HLO instruction distinct (no kind
+    grouping) -- the view for ranking individual backward-pass targets."""
     import xplane_pb2  # vendored public schema, see tools/xplane.proto
 
     paths = sorted(glob.glob(os.path.join(
@@ -193,7 +196,13 @@ def top_ops(out_dir: str, k: int = 15):
                 # '%fusion.7 = bf16[...] fusion(...), kind=kLoop ...' keeps
                 # its hlo name prefix for readability
                 label = meta.name.split(" = ")[0].lstrip("%")
-                label = label.rsplit(".", 1)[0]
+                if per_hlo:
+                    # keep the instruction id; append the profiler's
+                    # display name (usually the originating jax op path)
+                    if meta.display_name and meta.display_name != label:
+                        label = f"{label} [{meta.display_name}]"
+                else:
+                    label = label.rsplit(".", 1)[0]
                 totals[label] += dur_us
                 count[label] += 1
                 device_total += dur_us
@@ -211,12 +220,16 @@ def main():
     ap.add_argument("--out", default="/tmp/hpt_profile")
     ap.add_argument("--parse-only", action="store_true",
                     help="skip capture; parse an existing trace dir")
+    ap.add_argument("--per-hlo", action="store_true",
+                    help="rank individual HLO instructions instead of "
+                         "grouping by op kind")
+    ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
     if not args.parse_only:
         {"train": capture, "infer": capture_infer,
          "ddim": capture_ddim}[args.program](
             args.batch, args.steps, args.out)
-    ranked, total = top_ops(args.out)
+    ranked, total = top_ops(args.out, k=args.top, per_hlo=args.per_hlo)
     print(json.dumps({
         "trace_dir": args.out,
         "device_busy_us": round(total, 1),

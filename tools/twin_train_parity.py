@@ -335,17 +335,24 @@ def torch_inputs(batch, cfg):
 def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
              batch_size: int = 8, epochs: int = 4, crop: int = 64,
              sigma: float = 6.25, feat_dim: int = 256, seed: int = 0,
-             data_root: str | None = None, shadow: bool = False) -> dict:
+             data_root: str | None = None, shadow: bool = False,
+             shadow_seeds: int = 1) -> dict:
     """Train both frameworks in lockstep; return the trajectories.
 
-    With ``shadow=True`` the JAX loop runs a second time from an init
-    perturbed by 1 part in 1e6 (rademacher signs), measuring the
-    training loop's OWN sensitivity to rounding-scale differences.  For
-    chaotic loss surfaces (the uv-projection families) torch-vs-JAX
-    divergence at 100 steps is dominated by Lyapunov amplification of
-    per-op float32 rounding, and the shadow divergence is the honest
-    yardstick: a semantic bug shows up as torch-vs-JAX >> shadow, while
-    chaos shows up as torch-vs-JAX ~ shadow."""
+    With ``shadow=True`` the JAX loop runs again from an init perturbed
+    by 1 part in 1e6 (rademacher signs), measuring the training loop's
+    OWN sensitivity to rounding-scale differences.  For chaotic loss
+    surfaces (the uv-projection families) torch-vs-JAX divergence at 100
+    steps is dominated by Lyapunov amplification of per-op float32
+    rounding, and the shadow divergence is the honest yardstick: a
+    semantic bug shows up as torch-vs-JAX >> shadow, while chaos shows
+    up as torch-vs-JAX ~ shadow.
+
+    ``shadow_seeds``: number of independently-perturbed shadow runs.  A
+    single shadow is ONE sample of a chaotic band; an ensemble bounds
+    torch-vs-JAX by the band's measured spread (``shadow_ensemble_*``
+    keys are the per-seed lists, ``shadow_max_epoch_val_rel_diff`` the
+    ensemble max)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -561,30 +568,47 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
     }
 
     if shadow:
-        # second JAX run from a 1e-6-perturbed init: measures the
-        # loop's intrinsic rounding-chaos amplification on this exact
-        # loss surface / batch schedule
-        key = jax.random.PRNGKey(1234)
-        leaves, treedef = jax.tree.flatten(params0)
-        pleaves = [
-            x * (1.0 + 1e-6 * jax.random.rademacher(
-                jax.random.fold_in(key, i), x.shape).astype(x.dtype))
-            for i, x in enumerate(leaves)]
-        pstate = TrainState.create(
-            apply_fn=model.apply,
-            params=jax.tree.unflatten(treedef, pleaves), tx=tx,
-            batch_stats=stats0)
-        s_l, s_v = jax_loop(pstate)
+        # JAX run(s) from 1e-6-perturbed inits: measures the loop's
+        # intrinsic rounding-chaos amplification on this exact loss
+        # surface / batch schedule.  Each shadow seed draws independent
+        # rademacher signs; the ensemble max over seeds is the honest
+        # bound for torch-vs-JAX on a chaotic family (one draw is one
+        # sample of the band).
+        ens_val_diff, ens_mean_loss, ens_e10 = [], [], []
+        last = {}
+        for k in range(shadow_seeds):
+            key = jax.random.PRNGKey(1234 + 7717 * k)
+            leaves, treedef = jax.tree.flatten(params0)
+            pleaves = [
+                x * (1.0 + 1e-6 * jax.random.rademacher(
+                    jax.random.fold_in(key, i), x.shape).astype(x.dtype))
+                for i, x in enumerate(leaves)]
+            pstate = TrainState.create(
+                apply_fn=model.apply,
+                params=jax.tree.unflatten(treedef, pleaves), tx=tx,
+                batch_stats=deep(stats0))
+            s_l, s_v = jax_loop(pstate)
+            ens_val_diff.append(float(np.max(rel(j_v, s_v))))
+            ens_mean_loss.append(float(np.mean(rel(j_l, s_l))))
+            ens_e10.append(float(np.mean(rel(j_l, s_l)[:10])))
+            last = {
+                "shadow_jax_losses": s_l.round(6).tolist(),
+                "shadow_jax_val_mpjpe": s_v.round(5).tolist(),
+                "shadow_median_loss_rel_diff": float(
+                    np.median(rel(j_l, s_l))),
+                "shadow_early25_loss_rel_diff": float(np.mean(rel(j_l,
+                                                                  s_l)[:25])),
+            }
+        res.update(last)
         res.update({
-            "shadow_jax_losses": s_l.round(6).tolist(),
-            "shadow_jax_val_mpjpe": s_v.round(5).tolist(),
-            "shadow_max_epoch_val_rel_diff": float(np.max(rel(j_v, s_v))),
-            "shadow_mean_loss_rel_diff": float(np.mean(rel(j_l, s_l))),
-            "shadow_median_loss_rel_diff": float(np.median(rel(j_l, s_l))),
-            "shadow_early10_loss_rel_diff": float(np.mean(rel(j_l,
-                                                              s_l)[:10])),
-            "shadow_early25_loss_rel_diff": float(np.mean(rel(j_l,
-                                                              s_l)[:25])),
+            # ensemble max (== the single value when shadow_seeds=1)
+            "shadow_max_epoch_val_rel_diff": max(ens_val_diff),
+            "shadow_mean_loss_rel_diff": max(ens_mean_loss),
+            "shadow_early10_loss_rel_diff": max(ens_e10),
+            "shadow_seeds": shadow_seeds,
+            "shadow_ensemble_val_rel_diff": ens_val_diff,
+            "shadow_ensemble_mean_loss_rel_diff": ens_mean_loss,
+            "shadow_ensemble_early10_loss_rel_diff": ens_e10,
         })
     if tmpdir is not None:
         tmpdir.cleanup()
@@ -617,11 +641,14 @@ def main():
     p.add_argument("--shadow", action="store_true",
                    help="also run the 1e-6-perturbed JAX shadow twin "
                         "(chaos yardstick)")
+    p.add_argument("--shadow-seeds", type=int, default=1,
+                   help="number of independently-perturbed shadow runs; "
+                        "the ensemble max bounds the chaos band")
     args = p.parse_args()
     res = run_twin(args.model, n_train=args.n_train, n_val=args.n_val,
                    batch_size=args.batch_size, epochs=args.epochs,
                    crop=args.crop, feat_dim=args.feat_dim, seed=args.seed,
-                   shadow=args.shadow)
+                   shadow=args.shadow, shadow_seeds=args.shadow_seeds)
     print(json.dumps(res))
 
 
