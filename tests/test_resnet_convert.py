@@ -57,6 +57,56 @@ def test_converted_forward_matches_torch(block, layers, fblock, name):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
 
 
+def _shim_state_dict(layers=(2, 2, 2, 2)):
+    torch.manual_seed(1)
+    tnet = TorchResNet(TorchBottleneck, list(layers), num_classes=8).eval()
+    return {k: v.numpy() for k, v in tnet.state_dict().items()}
+
+
+def test_contract_verifier_rejects_violations():
+    """verify_state_dict_contracts fails loudly on every class of
+    malformed input that would otherwise convert garbage (torchvision
+    itself is absent here -- these contracts ARE the converter's
+    evidence that a real resnet50(pretrained=True) dict either converts
+    correctly or refuses; see PARITY.md)."""
+    from convert_torch_resnet import verify_state_dict_contracts
+
+    def expect(msg_part, mutate, layers=(2, 2, 2, 2)):
+        sd = _shim_state_dict()          # always a (2,2,2,2) dict
+        mutate(sd)
+        with pytest.raises(ValueError, match=msg_part):
+            verify_state_dict_contracts(sd, list(layers), "bottleneck",
+                                        skip_stem=False)
+
+    # the clean shim dict passes
+    verify_state_dict_contracts(_shim_state_dict(), [2, 2, 2, 2],
+                                "bottleneck", skip_stem=False)
+
+    # a dict already transposed to flax HWIO order must be rejected
+    expect("kernel", lambda sd: sd.update(
+        {"layer1.0.conv2.weight":
+         sd["layer1.0.conv2.weight"].transpose(2, 3, 1, 0)}))
+    # missing key (stage_sizes ask for more blocks than the dict holds)
+    expect("missing key", lambda sd: None, layers=(3, 4, 6, 3))
+    # leftover keys (stage_sizes ask for fewer blocks than the dict holds)
+    expect("unconsumed", lambda sd: None, layers=(2, 1, 2, 2))
+    # negative running variance is not a valid BN state
+    expect("running_var", lambda sd: sd["layer2.0.bn1.running_var"]
+           .__setitem__(0, -1.0))
+    # BN vector length must equal the conv's out-channels
+    expect("out-channels", lambda sd: sd.update(
+        {"layer1.0.bn1.weight": sd["layer1.0.bn1.weight"][:-1]}))
+    # wrong block class for the dict
+    sd = _shim_state_dict()
+    with pytest.raises(ValueError):
+        verify_state_dict_contracts(sd, [2, 2, 2, 2], "basic",
+                                    skip_stem=False)
+    # int dtype (e.g. a num_batches_tracked mis-mapped into a slot)
+    expect("not float", lambda sd: sd.update(
+        {"layer1.0.conv1.weight":
+         sd["layer1.0.conv1.weight"].astype(np.int32)}))
+
+
 def test_s2d_stem_exact_equivalence():
     """'k3s2_s2d' computes the SAME function as the 'k3s2' stem with
     identical parameters (same param path conv_init/kernel) -- it is a
