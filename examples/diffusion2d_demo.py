@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--timesteps", type=int, default=50)
+    ap.add_argument("--fid", type=int, default=0, metavar="N",
+                    help="after training, sample N images and report the "
+                         "Frechet distance to N fresh real images "
+                         "(random-conv proxy features; see utils/fid.py "
+                         "-- the reference scratchpad's InceptionV3 FID, "
+                         "diffusionExample.py:293-370)")
     args = ap.parse_args()
 
     net = Unet2D(dim=24, dim_mults=(1, 2, 4), channels=3)
@@ -68,6 +74,19 @@ def main():
     samples = gd.sample(denoise(params), 4, None, rng)
     print("sampled", samples.shape, "range",
           float(samples.min()), float(samples.max()))
+
+    if args.fid:
+        from handpose_tpu.utils.fid import fid_score
+
+        n = args.fid
+        rng, s_rng, r_rng, n_rng = jax.random.split(rng, 4)
+        gen = np.asarray(gd.sample(denoise(params), n, None, s_rng))
+        real = np.asarray(synth_images(r_rng, n))
+        noise = np.asarray(jax.random.uniform(n_rng, real.shape))
+        print(f"FID(gen, real)   = {fid_score(gen, real):8.3f}  "
+              "(random-conv proxy features)")
+        print(f"FID(noise, real) = {fid_score(noise, real):8.3f}  "
+              "(uninformed baseline, should be much larger)")
 
 
 if __name__ == "__main__":

@@ -143,6 +143,11 @@ class Config:
     # test_ddim_scan_unroll_equivalent); torch transfer parity re-pinned at
     # this default (tests/test_model_transfer_parity.py).
     sampler_unroll: int = 4
+    # TPU addition: hoist time/cond embeddings + per-block time projections
+    # out of the sampling scan into per-step tables ('auto': on when the
+    # tables stay small, B <= 32).  Identical math, batched over steps;
+    # equivalence pinned in tests/test_diffusion.py.
+    sampler_hoist: str = "auto"     # 'auto' | 'on' | 'off'
 
     # -- MANO (reference config.py:64-68) --
     mano_right_hand_path: str = ""  # resolved by handpose_tpu.nn.mano.find_mano_pkl

@@ -232,7 +232,9 @@ class DiffusionHandPose(nn.Module):
             condition_feat_dim=self.cfg.condition_feat_dim,
             num_timesteps=self.cfg.num_timesteps,
             num_sampling_timesteps=self.cfg.num_sampling_timesteps,
-            sampler_unroll=self.cfg.sampler_unroll)
+            sampler_unroll=self.cfg.sampler_unroll,
+            sampler_hoist={"auto": "auto", "on": True,
+                           "off": False}[self.cfg.sampler_hoist])
         self.bone_angle_pred_model = BoneAnglePrediction()
         self.bone_length_pred_model = BoneLengthPrediction()
 

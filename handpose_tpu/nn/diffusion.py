@@ -88,9 +88,20 @@ class ResnetBlock(nn.Module):
     groups: int = 8
 
     @nn.compact
-    def __call__(self, x, time_emb=None):
+    def __call__(self, x, time_emb=None, time_proj=None):
+        """``time_proj`` optionally injects this block's precomputed
+        ``Dense(silu(time_emb))`` output (..., 2*dim_out) -- the sampler
+        hoists these out of its scan (the projection depends only on the
+        step's time embedding, which is static per sampling step).  With
+        ``x=None`` the block runs in PRECOMPUTE mode and returns that
+        projection for the given (batched-over-steps) embedding."""
+        if x is None:
+            return nn.Dense(self.dim_out * 2,
+                            name="time_proj")(nn.silu(time_emb))
         scale_shift = None
-        if time_emb is not None:
+        if time_proj is not None:
+            scale_shift = jnp.split(time_proj[..., None, :], 2, axis=-1)
+        elif time_emb is not None:
             t = nn.Dense(self.dim_out * 2, name="time_proj")(nn.silu(time_emb))
             t = t[:, None, :]                      # (B, 1, 2*dim_out)
             scale_shift = jnp.split(t, 2, axis=-1)
@@ -181,34 +192,81 @@ class Unet1D(nn.Module):
     attn_heads: int = 4
     attn_dim_head: int = 32
 
+    def _block_specs(self, in_out):
+        """(name, dim, dim_out) of every time-conditioned ResnetBlock, in
+        declaration order -- the precompute pass and the run pass must
+        agree on these exactly (same names => same params)."""
+        specs = []
+        for ind, (dim_in, _) in enumerate(in_out):
+            specs += [(f"down_{ind}_block1", dim_in, dim_in),
+                      (f"down_{ind}_block2", dim_in, dim_in)]
+        mid = in_out[-1][1]
+        specs += [("mid_block1", mid, mid), ("mid_block2", mid, mid)]
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            specs += [(f"up_{ind}_block1", dim_out + dim_in, dim_out),
+                      (f"up_{ind}_block2", dim_out + dim_in, dim_out)]
+        specs.append(("final_res_block", self.dim * 2, self.dim))
+        return specs
+
     @nn.compact
-    def __call__(self, x, time, condition=None):
+    def __call__(self, x, time, condition=None, time_tables=None):
+        """Denoise ``x`` at ``time``.
+
+        Two extra modes serve the hoisted samplers (the ~600-HLO denoise
+        step is per-op-overhead-bound on TPU, NOTES_r3.md):
+
+        * ``x=None`` -- PRECOMPUTE: ``time`` is the (S,) ladder of ALL
+          sampling steps; returns ``{block_name: (S, B|1, 2*dim_out)}``
+          tables of every block's time projection, batched over steps in
+          one pass (each is a plain matmul row per step -- identical math
+          to the per-step Dense).
+        * ``time_tables={name: (B|1, 2*dim_out)}`` -- a single step's
+          slices of those tables; the whole time/condition-embedding MLP
+          stack and every per-block time projection are skipped.
+        """
         groups = self.resnet_block_groups
         block = partial(ResnetBlock, groups=groups)
         dims = [self.dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         time_dim = self.dim * 4
 
+        if x is None or time_tables is None:
+            t = SinusoidalPosEmb(self.dim)(time)
+            t = nn.Dense(time_dim, name="time_mlp_1")(t)
+            t = nn.gelu(t, approximate=False)
+            t = nn.Dense(time_dim, name="time_mlp_2")(t)
+            if condition is not None:
+                c = nn.Dense(time_dim, name="cond_mlp_1")(condition)
+                c = nn.gelu(c, approximate=False)
+                c = nn.Dense(time_dim, name="cond_mlp_2")(c)
+                if x is None:                     # (S,·) + (B,·) -> (S,B,·)
+                    t = t[:, None, :] + c[None, :, :]
+                else:
+                    t = t + c
+            elif x is None:
+                t = t[:, None, :]                 # (S, 1, time_dim)
+        else:
+            t = None
+
+        if x is None:
+            return {name: block(d, d_out, name=name)(None, t)
+                    for name, d, d_out in self._block_specs(in_out)}
+
+        def tp(name):
+            return None if time_tables is None else time_tables[name]
+
         x = nn.Conv(self.dim, (7,), padding=[(3, 3)], name="init_conv")(x)
         r = x
-
-        t = SinusoidalPosEmb(self.dim)(time)
-        t = nn.Dense(time_dim, name="time_mlp_1")(t)
-        t = nn.gelu(t, approximate=False)
-        t = nn.Dense(time_dim, name="time_mlp_2")(t)
-        if condition is not None:
-            c = nn.Dense(time_dim, name="cond_mlp_1")(condition)
-            c = nn.gelu(c, approximate=False)
-            c = nn.Dense(time_dim, name="cond_mlp_2")(c)
-            t = t + c
 
         h = []
         n_res = len(in_out)
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= n_res - 1
-            x = block(dim_in, dim_in, name=f"down_{ind}_block1")(x, t)
+            nm = f"down_{ind}_block1"
+            x = block(dim_in, dim_in, name=nm)(x, t, tp(nm))
             h.append(x)
-            x = block(dim_in, dim_in, name=f"down_{ind}_block2")(x, t)
+            nm = f"down_{ind}_block2"
+            x = block(dim_in, dim_in, name=nm)(x, t, tp(nm))
             x = PreNormResidual(dim_in, "linear", self.attn_heads,
                                 self.attn_dim_head,
                                 name=f"down_{ind}_attn")(x)
@@ -221,17 +279,19 @@ class Unet1D(nn.Module):
                             name=f"down_{ind}_conv")(x)
 
         mid = dims[-1]
-        x = block(mid, mid, name="mid_block1")(x, t)
+        x = block(mid, mid, name="mid_block1")(x, t, tp("mid_block1"))
         x = PreNormResidual(mid, "full", self.attn_heads,
                             self.attn_dim_head, name="mid_attn")(x)
-        x = block(mid, mid, name="mid_block2")(x, t)
+        x = block(mid, mid, name="mid_block2")(x, t, tp("mid_block2"))
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == n_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = block(dim_out + dim_in, dim_out, name=f"up_{ind}_block1")(x, t)
+            nm = f"up_{ind}_block1"
+            x = block(dim_out + dim_in, dim_out, name=nm)(x, t, tp(nm))
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = block(dim_out + dim_in, dim_out, name=f"up_{ind}_block2")(x, t)
+            nm = f"up_{ind}_block2"
+            x = block(dim_out + dim_in, dim_out, name=nm)(x, t, tp(nm))
             x = PreNormResidual(dim_out, "linear", self.attn_heads,
                                 self.attn_dim_head,
                                 name=f"up_{ind}_attn")(x)
@@ -248,7 +308,8 @@ class Unet1D(nn.Module):
                             name=f"up_{ind}_conv")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = block(self.dim * 2, self.dim, name="final_res_block")(x, t)
+        x = block(self.dim * 2, self.dim,
+                  name="final_res_block")(x, t, tp("final_res_block"))
         return nn.Conv(self.channels, (1,), name="final_conv")(x)
 
 
@@ -281,7 +342,13 @@ def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
 
 
 class DiffusionSchedule:
-    """Precomputed schedule constants (float32 like the reference buffers)."""
+    """Precomputed schedule constants (float32 like the reference buffers).
+
+    Stored as HOST numpy arrays: the samplers fold them into static
+    per-step coefficients at trace time (a jnp buffer would be an
+    omnistaged tracer when a module's setup() runs under jit, and static
+    folding needs concrete values).  Traced-index consumers (_extract,
+    loss_weight[t]) wrap them in jnp.asarray at the use site."""
 
     def __init__(self, timesteps: int, beta_schedule: str = "cosine",
                  objective: str = "pred_noise"):
@@ -294,7 +361,7 @@ class DiffusionSchedule:
         alphas = 1.0 - betas
         ac = np.cumprod(alphas)
         ac_prev = np.concatenate([[1.0], ac[:-1]])
-        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        f32 = lambda a: np.asarray(a, np.float32)
         self.betas = f32(betas)
         self.alphas_cumprod = f32(ac)
         self.alphas_cumprod_prev = f32(ac_prev)
@@ -321,8 +388,8 @@ class DiffusionSchedule:
         self.loss_weight = f32(lw)
 
 
-def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    out = a[t]
+def _extract(a, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    out = jnp.asarray(a)[t]
     return out.reshape(out.shape + (1,) * (ndim - 1))
 
 
@@ -427,7 +494,7 @@ class GaussianDiffusion1D:
             target = self.predict_v(x_start, t, noise)
         loss = jnp.mean((out - target) ** 2,
                         axis=tuple(range(1, out.ndim)))       # (B,)
-        loss = loss * self.sched.loss_weight[t]
+        loss = loss * jnp.asarray(self.sched.loss_weight)[t]
         return jnp.mean(loss)
 
     def loss(self, denoise_fn, x0, condition, rng, t=None, noise=None):
@@ -449,74 +516,150 @@ class GaussianDiffusion1D:
         return self.p_losses(denoise_fn, x0, t, noise, condition)
 
     # -- sampling ------------------------------------------------------------
+    #
+    # Both samplers fold every schedule-derived quantity into PER-STEP
+    # STATIC coefficients computed in numpy at trace time (the reference
+    # recomputes them on-device each of its 200 python-loop iterations,
+    # conditionalDiffusion.py:658-709).  The denoise step is ~600 tiny
+    # HLOs on TPU (per-op overhead bound, NOTES_r3.md), so every gather /
+    # where / sqrt / threefry removed from the scan body is wall-clock.
+    # Same float32 arithmetic on the same float32 schedule buffers --
+    # numerically the op-for-op computation the in-scan version did.
+
+    def _x_start_coefs(self, time: np.ndarray) -> dict:
+        """Static per-step coefficients for model_predictions()' linear
+        conversions (the clip nonlinearity stays in the step)."""
+        s = self.sched
+        g = lambda a: np.asarray(a)[time]          # (S,) float32
+        return {"srac": g(s.sqrt_recip_alphas_cumprod),
+                "sracm1": g(s.sqrt_recipm1_alphas_cumprod),
+                "sac": g(s.sqrt_alphas_cumprod),
+                "somac": g(s.sqrt_one_minus_alphas_cumprod)}
+
+    def _predictions_from_coefs(self, cf, img, out, clip_denoised):
+        """model_predictions() with the per-t gathers replaced by the
+        step's static coefficients; identical formulas."""
+        clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_denoised else (
+            lambda v: v)
+        if self.objective == "pred_noise":
+            x_start = clip(cf["srac"] * img - cf["sracm1"] * out)
+            pred_noise = out
+        elif self.objective == "pred_x0":
+            x_start = clip(out)
+            pred_noise = (cf["srac"] * img - x_start) / cf["sracm1"]
+        else:                                      # pred_v
+            x_start = clip(cf["sac"] * img - cf["somac"] * out)
+            pred_noise = (cf["srac"] * img - x_start) / cf["sracm1"]
+        return pred_noise, x_start
+
+    def _make_denoise(self, denoise_fn, shape, condition, table_fn, times):
+        """Returns (xs_extra, call) where call(img, inp) runs the denoiser
+        for one step, via hoisted time tables when table_fn is given."""
+        if table_fn is None:
+            return {}, lambda img, inp: denoise_fn(
+                img, jnp.full((shape[0],), inp["t"], jnp.int32), condition)
+        tables = table_fn(jnp.asarray(times, jnp.float32))    # {name: (S,·,·)}
+        return {"tab": tables}, lambda img, inp: denoise_fn(
+            img, jnp.full((shape[0],), inp["t"], jnp.int32), condition,
+            inp["tab"])
+
     def ddim_sample(self, denoise_fn, shape, condition, rng,
-                    clip_denoised=True, init_noise=None):
+                    clip_denoised=True, init_noise=None, table_fn=None):
         """DDIM sampler as a single lax.scan over the static time pairs
         (conditionalDiffusion.py:674-709).
 
         ``init_noise`` optionally injects the initial x_T instead of drawing
         it from ``rng`` -- with eta=0 the trajectory is then fully
         deterministic (reproducible serving; torch-parity tests).
+
+        ``table_fn(times (S,)) -> pytree`` optionally precomputes hoisted
+        per-step denoiser tables (Unet1D precompute mode); the scan slices
+        them per step and passes the slice as the denoiser's 4th argument.
         """
         total, sampling = self.num_timesteps, self.sampling_timesteps
         pairs = ddim_time_pairs(total, sampling)              # (S, 2)
-        s = self.sched
+        time, time_next = pairs[:, 0], pairs[:, 1]
+
+        ac = np.asarray(self.sched.alphas_cumprod)            # float32
+        alpha = ac[time]
+        alpha_next = np.where(time_next < 0, np.float32(1.0),
+                              ac[np.maximum(time_next, 0)])
+        sigma = np.float32(self.eta) * np.sqrt(
+            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+        c = np.sqrt(np.clip(1 - alpha_next - sigma ** 2, 0.0, None))
+        sqan = np.sqrt(alpha_next)
+        # final step (time_next < 0): img_next == x_start exactly
+        last = time_next < 0
+        sqan[last], c[last], sigma[last] = 1.0, 0.0, 0.0
+        coefs = dict(self._x_start_coefs(time), sqan=sqan, c=c, sigma=sigma)
 
         rng, init_rng = jax.random.split(rng)
         img0 = (jax.random.normal(init_rng, shape) if init_noise is None
                 else jnp.asarray(init_noise, jnp.float32).reshape(shape))
-        step_rngs = jax.random.split(rng, pairs.shape[0])
+        use_noise = self.eta != 0.0                # static: eta is python
+        xs_extra, call = self._make_denoise(denoise_fn, shape, condition,
+                                            table_fn, time)
+        xs = {"t": jnp.asarray(time, jnp.int32),
+              "cf": {k: jnp.asarray(v, jnp.float32)
+                     for k, v in coefs.items()}, **xs_extra}
+        if use_noise:
+            xs["rng"] = jax.random.split(rng, pairs.shape[0])
 
         def step(img, inp):
-            (time, time_next), srng = inp
-            t = jnp.full((shape[0],), time, jnp.int32)
-            pred_noise, x_start = self.model_predictions(
-                denoise_fn, img, t, condition, clip_x_start=clip_denoised)
-            alpha = s.alphas_cumprod[time]
-            alpha_next = jnp.where(time_next < 0, 1.0,
-                                   s.alphas_cumprod[jnp.maximum(time_next, 0)])
-            sigma = self.eta * jnp.sqrt(
-                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
-            c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma ** 2, 0.0))
-            noise = jax.random.normal(srng, img.shape)
-            img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise \
-                + sigma * noise
-            img_next = jnp.where(time_next < 0, x_start, img_next)
+            out = call(img, inp)
+            cf = inp["cf"]
+            pred_noise, x_start = self._predictions_from_coefs(
+                cf, img, out, clip_denoised)
+            img_next = x_start * cf["sqan"] + cf["c"] * pred_noise
+            if use_noise:
+                img_next = img_next + cf["sigma"] * jax.random.normal(
+                    inp["rng"], img.shape)
             return img_next, None
 
-        img, _ = jax.lax.scan(step, img0, (jnp.asarray(pairs), step_rngs),
-                              unroll=self.scan_unroll)
+        img, _ = jax.lax.scan(step, img0, xs, unroll=self.scan_unroll)
         return self.unnormalize(img)
 
     def p_sample_loop(self, denoise_fn, shape, condition, rng,
-                      clip_denoised=True, init_noise=None):
+                      clip_denoised=True, init_noise=None, table_fn=None):
         """Ancestral DDPM sampler (conditionalDiffusion.py:643-672)."""
         rng, init_rng = jax.random.split(rng)
         img0 = (jax.random.normal(init_rng, shape) if init_noise is None
                 else jnp.asarray(init_noise, jnp.float32).reshape(shape))
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        step_rngs = jax.random.split(rng, self.num_timesteps)
+        ts = np.arange(self.num_timesteps - 1, -1, -1)
+
+        s = self.sched
+        std = np.exp(np.float32(0.5) * np.asarray(
+            s.posterior_log_variance_clipped)[ts])
+        std[ts == 0] = 0.0                         # final step: mean only
+        coefs = dict(self._x_start_coefs(ts),
+                     c1=np.asarray(s.posterior_mean_coef1)[ts],
+                     c2=np.asarray(s.posterior_mean_coef2)[ts], std=std)
+
+        xs_extra, call = self._make_denoise(denoise_fn, shape, condition,
+                                            table_fn, ts)
+        xs = {"t": jnp.asarray(ts, jnp.int32),
+              "cf": {k: jnp.asarray(v, jnp.float32)
+                     for k, v in coefs.items()},
+              "rng": jax.random.split(rng, self.num_timesteps), **xs_extra}
 
         def step(img, inp):
-            t_scalar, srng = inp
-            t = jnp.full((shape[0],), t_scalar, jnp.int32)
-            _, x_start = self.model_predictions(denoise_fn, img, t, condition,
-                                                clip_x_start=clip_denoised)
-            mean, logvar = self.q_posterior(x_start, img, t)
-            noise = jax.random.normal(srng, img.shape)
-            img_next = mean + jnp.exp(0.5 * logvar) * noise
-            img_next = jnp.where(t_scalar > 0, img_next, mean)
-            return img_next, None
+            out = call(img, inp)
+            cf = inp["cf"]
+            _, x_start = self._predictions_from_coefs(
+                cf, img, out, clip_denoised)
+            mean = cf["c1"] * x_start + cf["c2"] * img
+            noise = jax.random.normal(inp["rng"], img.shape)
+            return mean + cf["std"] * noise, None
 
-        img, _ = jax.lax.scan(step, img0, (ts, step_rngs),
-                              unroll=self.scan_unroll)
+        img, _ = jax.lax.scan(step, img0, xs, unroll=self.scan_unroll)
         return self.unnormalize(img)
 
     def sample(self, denoise_fn, batch_size, condition, rng,
-               clip_denoised=True, init_noise=None):
+               clip_denoised=True, init_noise=None, table_fn=None):
         shape = (batch_size, self.seq_length, self.channels)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(denoise_fn, shape, condition, rng, clip_denoised, init_noise)
+        return fn(denoise_fn, shape, condition, rng, clip_denoised,
+                  init_noise, table_fn)
 
 
 class DiffusionJointEstimation(nn.Module):
@@ -530,6 +673,12 @@ class DiffusionJointEstimation(nn.Module):
     num_sampling_timesteps: int = 200
     dim: int = 64
     sampler_unroll: int = 1
+    # hoist the time/cond embedding MLPs + every block's time projection
+    # out of the sampling scan into (S, B, .) tables ('auto': when the
+    # tables stay small -- B <= 32; True/False to force).  Identical math
+    # (the projections are batched over steps instead of recomputed per
+    # step); equivalence pinned in tests/test_diffusion.py.
+    sampler_hoist: bool | str = "auto"
 
     def setup(self):
         self.unet = Unet1D(dim=self.dim, dim_mults=(1, 2, 4, 8), channels=1,
@@ -561,6 +710,15 @@ class DiffusionJointEstimation(nn.Module):
         B = condition.shape[0]
         if init_noise is not None:
             init_noise = jnp.swapaxes(jnp.asarray(init_noise), 1, 2)
-        out = self.diffusion.sample(self._denoise, B, condition, rng,
-                                    init_noise=init_noise)
+        hoist = (B <= 32 if self.sampler_hoist == "auto"
+                 else bool(self.sampler_hoist))
+        if hoist:
+            table_fn = lambda times: self.unet(None, times, condition)
+            denoise = lambda x, t, c, tab: self.unet(x, t, c,
+                                                     time_tables=tab)
+        else:
+            table_fn, denoise = None, self._denoise
+        out = self.diffusion.sample(denoise, B, condition, rng,
+                                    init_noise=init_noise,
+                                    table_fn=table_fn)
         return jnp.swapaxes(out, 1, 2)            # (B, 1, 63)

@@ -43,7 +43,20 @@ BN_MODES = ("stable", "fast", "shifted")
 
 
 class ShiftedBatchNorm(nn.Module):
-    """BatchNorm with running-mean-shifted one-pass batch variance."""
+    """BatchNorm with running-mean-shifted one-pass batch variance.
+
+    ``moments``: 'auto'/'jnp' use the XLA reduction form; 'pallas' routes
+    the moment computation through the one-HBM-pass dual-moment kernel
+    (ops/pallas_kernels.py::fused_shifted_moments).  The kernel is a
+    MEASURED NEGATIVE on v5e and therefore opt-in: in isolation it runs
+    ~4x slower than XLA's reduction (tools/micro_moments.py: 0.86 ms vs
+    0.18 ms net of dispatch on the quarter-stem shape, where XLA already
+    hits ~745 GB/s i.e. the HBM roofline -- the two sibling reductions
+    DO multi-output-fuse into one pass in isolation), and in the full
+    fused train step the pallas_call fusion barrier + unfused custom-VJP
+    backward cost 22% of throughput (tools/ab_train_step.py: 2331 vs
+    2979 img/s).  The round-3 'shifted'-mode deficit vs 'fast' is a
+    fusion-context effect, not the moment pass itself."""
 
     use_running_average: bool = False
     momentum: float = 0.9
@@ -52,6 +65,7 @@ class ShiftedBatchNorm(nn.Module):
     param_dtype: Any = jnp.float32
     scale_init: Any = nn.initializers.ones
     bias_init: Any = nn.initializers.zeros
+    moments: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -69,12 +83,24 @@ class ShiftedBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
-            d = xf - ra_mean.value
-            mu_s = jnp.mean(d, axis=reduction_axes)
-            # one fused pass over x: both reductions read the same d
-            var = jnp.maximum(
-                jnp.mean(d * d, axis=reduction_axes) - mu_s * mu_s, 0.0)
+            n = 1.0
+            for ax in reduction_axes:
+                n *= x.shape[ax]
+            use_pallas = self.moments == "pallas"
+            if use_pallas:
+                from ..ops.pallas_kernels import fused_shifted_moments
+                s, ss = fused_shifted_moments(
+                    x.reshape(-1, C), ra_mean.value,
+                    jax.default_backend() != "tpu")   # interpret off-TPU
+                mu_s = s / n
+                var = jnp.maximum(ss / n - mu_s * mu_s, 0.0)
+            else:
+                xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
+                d = xf - ra_mean.value
+                mu_s = jnp.mean(d, axis=reduction_axes)
+                # one fused pass over x: both reductions read the same d
+                var = jnp.maximum(
+                    jnp.mean(d * d, axis=reduction_axes) - mu_s * mu_s, 0.0)
             mean = ra_mean.value + mu_s
             if not self.is_initializing():
                 m = self.momentum

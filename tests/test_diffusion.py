@@ -88,6 +88,33 @@ def test_ddim_scan_unroll_equivalent():
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
 
 
+def test_sampler_hoist_equivalent():
+    """sampler_hoist precomputes the time/cond embedding MLPs and every
+    block's time projection as (S, B, .) tables outside the scan -- the
+    SAME matmuls batched over steps instead of recomputed per step.  The
+    sampled trajectory must match the unhoisted sampler to reassociation
+    ulps, for both DDIM and ancestral DDPM."""
+    rng = jax.random.PRNGKey(2)
+    x0 = jax.random.uniform(rng, (2, 1, 63))
+    cond = jax.random.normal(rng, (2, 32))
+    init_noise = jax.random.normal(jax.random.PRNGKey(7), (2, 1, 63))
+
+    for sampling in (4, 8):          # 4 -> DDIM; 8 == T -> DDPM ancestral
+        outs = []
+        for hoist in (False, True):
+            mod = DiffusionJointEstimation(condition_feat_dim=32,
+                                           num_timesteps=8,
+                                           num_sampling_timesteps=sampling,
+                                           dim=16, sampler_hoist=hoist)
+            params = mod.init(rng, x0, cond, rng)
+            outs.append(np.asarray(jax.jit(
+                lambda p, c, r: mod.apply(p, c, r, method=mod.sample,
+                                          init_noise=init_noise))(
+                params, cond, rng)))
+        np.testing.assert_allclose(outs[0], outs[1], atol=2e-5,
+                                   err_msg=f"sampling={sampling}")
+
+
 def test_ddpm_ancestral_sampler():
     mod = DiffusionJointEstimation(condition_feat_dim=16, num_timesteps=6,
                                    num_sampling_timesteps=6, dim=16)  # no DDIM
@@ -193,3 +220,42 @@ def test_diffusion2d_learns():
     # violates it by ~its full scale
     mismatch = np.mean(np.abs(samples[..., 0] + samples[..., 1] - 1.0))
     assert mismatch < 0.35, mismatch
+
+
+def test_fid_frechet_math_and_proxy_features():
+    """FID machinery (reference diffusionExample.py:293-370 counterpart):
+    the Frechet distance matches the closed form for 1-D Gaussians, is ~0
+    for identical distributions, and the random-conv proxy features
+    separate matched image sets from noise."""
+    from handpose_tpu.utils.fid import fid_score, frechet_distance
+
+    rng = np.random.default_rng(0)
+    # closed form for D-dim diagonal Gaussians:
+    # sum (mu1-mu2)^2 + sum (s1 - s2)^2
+    a = rng.normal(0.0, 1.0, (20000, 3))
+    b = rng.normal([2.0, 0.0, -1.0], [1.0, 3.0, 0.5], (20000, 3))
+    # means (0,0,0) vs (2,0,-1): 4+0+1; sigmas (1,1,1) vs (1,3,0.5):
+    # 0 + 2^2 + 0.5^2
+    expect = (4.0 + 0.0 + 1.0) + (0.0 + 4.0 + 0.25)
+    got = frechet_distance(a, b)
+    assert abs(got - expect) / expect < 0.05, (got, expect)
+    assert frechet_distance(a, a) < 1e-6
+
+    # proxy features: same-distribution image sets score far below noise
+    def stripes(seed, n, size=16):
+        r = np.random.default_rng(seed)
+        ang = r.uniform(0, np.pi, n)
+        f = r.uniform(1, 3, n)
+        yy, xx = np.meshgrid(np.linspace(0, 1, size),
+                             np.linspace(0, 1, size), indexing="ij")
+        proj = (xx[None] * np.cos(ang)[:, None, None] +
+                yy[None] * np.sin(ang)[:, None, None])
+        img = 0.5 + 0.5 * np.sin(2 * np.pi * f[:, None, None] * proj)
+        return np.stack([img, 1 - img, img ** 2], -1).astype(np.float32)
+
+    real1, real2 = stripes(1, 256), stripes(2, 256)
+    noise = np.random.default_rng(3).uniform(
+        size=real1.shape).astype(np.float32)
+    close = fid_score(real1, real2)
+    far = fid_score(noise, real2)
+    assert far > 5 * close, (close, far)

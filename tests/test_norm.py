@@ -144,3 +144,63 @@ def test_shifted_partition_invariant_after_warmup():
     _, m_rep = step(state, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_sharded["loss"]),
                                float(m_rep["loss"]), rtol=1e-3)
+
+def test_pallas_moments_matches_jnp():
+    """fused_shifted_moments (the one-HBM-pass TPU kernel, run here in
+    interpret mode) must match the jnp shifted-moment computation in
+    values AND gradients, f32 and bf16, even N-divisible and tail-padded
+    row counts."""
+    from handpose_tpu.ops.pallas_kernels import fused_shifted_moments
+
+    rng = np.random.default_rng(3)
+    for N, C, dt in [(64, 8, jnp.float32), (100, 16, jnp.float32),
+                     (1030, 64, jnp.float32), (96, 24, jnp.bfloat16)]:
+        x = jnp.asarray(rng.normal(2.0, 1.5, (N, C)), dt)
+        shift = jnp.asarray(rng.normal(0.0, 1.0, C), jnp.float32)
+
+        s_p, ss_p = fused_shifted_moments(x, shift, True)
+        d = x.astype(jnp.float32) - shift[None, :]
+        s_j, ss_j = jnp.sum(d, 0), jnp.sum(d * d, 0)
+        np.testing.assert_allclose(s_p, s_j, rtol=2e-5, atol=2e-3)
+        np.testing.assert_allclose(ss_p, ss_j, rtol=2e-5, atol=2e-2)
+
+        # gradients: weighted sum of both outputs, d/dx and d/dshift
+        w1 = jnp.asarray(rng.normal(size=C), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=C), jnp.float32)
+
+        def loss_p(x_, sh_):
+            a, b = fused_shifted_moments(x_, sh_, True)
+            return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+        def loss_j(x_, sh_):
+            dd = x_.astype(jnp.float32) - sh_[None, :]
+            return (jnp.sum(jnp.sum(dd, 0) * w1) +
+                    jnp.sum(jnp.sum(dd * dd, 0) * w2))
+
+        gx_p, gs_p = jax.grad(loss_p, argnums=(0, 1))(x, shift)
+        gx_j, gs_j = jax.grad(loss_j, argnums=(0, 1))(x, shift)
+        atol = 5e-2 if dt == jnp.bfloat16 else 1e-4
+        np.testing.assert_allclose(np.asarray(gx_p, np.float32),
+                                   np.asarray(gx_j, np.float32),
+                                   rtol=1e-2, atol=atol)
+        np.testing.assert_allclose(gs_p, gs_j, rtol=2e-5, atol=2e-3)
+
+
+def test_shifted_bn_pallas_impl_matches_jnp():
+    """ShiftedBatchNorm(moments='pallas') == moments='jnp' end to end
+    (interpret mode; the TPU A/B decides speed, this pins semantics)."""
+    from handpose_tpu.nn.norm import ShiftedBatchNorm
+
+    x = jnp.asarray(np.random.default_rng(0).normal(1.0, 2.0, (4, 6, 6, 8)),
+                    jnp.float32)
+    outs, vars_out = [], []
+    for moments in ("jnp", "pallas"):
+        bn = ShiftedBatchNorm(use_running_average=False, moments=moments)
+        variables = bn.init(jax.random.PRNGKey(0), x)
+        y, mut = bn.apply(variables, x, mutable=["batch_stats"])
+        outs.append(np.asarray(y))
+        vars_out.append(jax.tree.map(np.asarray, mut))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-5, atol=1e-6), vars_out[0], vars_out[1])
+
