@@ -355,18 +355,30 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
     args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
             batch["keypoint_xyz_root"], pose_x0)
     state = create_train_state(model, cfg, args, jax.random.PRNGKey(0), 10)
-    step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    k = cfg.steps_per_dispatch
+    if k > 1:
+        # k steps per dispatch (train/steps.py::make_fused_multi_step):
+        # the same raw batch stacked k times -- identical per-step work,
+        # one host dispatch per k steps
+        from handpose_tpu.train.steps import make_fused_multi_step
+        step = make_fused_multi_step(model, cfg, preprocess_batch,
+                                     pp_kwargs)
+        raw = jax.tree.map(lambda a: jnp.stack([a] * k), raw)
+    else:
+        step = make_fused_train_step(model, cfg, preprocess_batch,
+                                     pp_kwargs)
     rng = jax.random.PRNGKey(1)
 
     # XLA-counted flops of the ACTUAL fused train-step program (replaces
     # the former 3x-forward heuristic); lower() before the donating call
-    # so the donated buffers are still alive
-    train_flops = _flops(step, state, raw, rng)
+    # so the donated buffers are still alive.  Normalised to ONE step so
+    # callers' per-image math is k-independent.
+    train_flops = _flops(step, state, raw, rng) / k
 
     state, m = step(state, raw, rng)            # compile
     _sync(m["loss"])
-    # 3 windows of 10 steps, best window: a single dispatch stall through
-    # the tunnel distorts a lone 1-second window by >10% run-to-run
+    # 3 windows of 10 dispatches, best window: a single dispatch stall
+    # through the tunnel distorts a lone 1-second window by >10%
     iters, best_dt = 10, float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -374,7 +386,7 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
             state, m = step(state, raw, rng)    # state chains iterations
         _sync(m["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
-    return BATCH * iters / best_dt, train_flops
+    return BATCH * k * iters / best_dt, train_flops
 
 
 def bench_diffusion_p50(cfg, throughput_batch: int = 256):

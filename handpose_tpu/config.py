@@ -85,17 +85,27 @@ class Config:
     keypoint_num: int = 21
     resnet_out_feature_dim: int = 1024
     # BatchNorm batch-variance mode (see nn/norm.py):
+    #   'fast'    flax's one-pass E[x^2]-E[x]^2 (flax's own default) --
+    #             the default: +11.1% train step on v5e (MFU .4027 ->
+    #             .4465, tools/bench_bn_modes.py r4).  Twin-training
+    #             convergence vs the executed torch reference measured
+    #             INSIDE the 3-seed shadow chaos band under 'fast'
+    #             (flagship: 0.35% max-epoch-val divergence vs 0.39%
+    #             band, NOTES_r4.md), so the speed is free at these
+    #             activation scales.  Caveat: catastrophic cancellation
+    #             when |mean| >> std (tests/test_norm.py pins the
+    #             regime), and train-mode outputs drift slightly with
+    #             the device partitioning.
     #   'stable'  two-pass, torch semantics, partition-invariant (sharded
-    #             == single-chip to ~1e-6) -- the default
-    #   'fast'    flax's one-pass E[x^2]-E[x]^2, ~7.6% faster train step
-    #             on v5e but train-mode outputs drift with the device
-    #             partitioning (catastrophic cancellation, |mean| >> std)
+    #             == single-chip to ~1e-6) -- use when bitwise
+    #             partition-invariance or extreme activation scales
+    #             matter more than 11% throughput.
     #   'shifted' one-pass variance centred on the RUNNING mean: benign
     #             cancellation once the running mean warms up; measured
-    #             +2.7% train step on v5e (tools/bench_bn_modes.py --
-    #             recovers only part of fast's +11.6%)
+    #             +2.7% train step on v5e (recovers only part of fast's
+    #             win; kept as the middle point)
     # Eval/inference is unaffected by the choice.
-    bn_variance: str = "stable"
+    bn_variance: str = "fast"
     # legacy alias (round-2 snapshots): True upgrades 'stable' to 'fast'
     bn_fast_variance: bool = False
     # backbone stem variant: 'k3s2' (reference conv1 swap) or 'k3s2_s2d'
@@ -111,8 +121,11 @@ class Config:
     # 'argmax' is reverse-mode only (custom_vjp blocks jvp/jacfwd).
     # Measured on v5e (tools/bench_pool_grad.py): 'argmax' is 0.54x
     # native (the recomputed argmax re-reads the stem activations and the
-    # placements don't fuse), so 'native' is the confirmed default;
-    # 'argmax' stays as a tested alternative / torch-tie-routing oracle.
+    # placements don't fuse), so it stays only as a tested alternative /
+    # torch-tie-routing oracle. 'pallas' keeps the same first-max
+    # routing but computes the whole backward in ONE VMEM-resident pass
+    # (ops/pallas_kernels.py::max_pool_3x3s2p1_bwd_pallas) -- one HBM
+    # read of x/dy and one write of dx, the traffic floor.
     pool_grad: str = "native"
     # accepted-unused (schema parity): the reference declares it and then
     # force-disables it per model (reference trainval.py:103); uv-loss
@@ -227,6 +240,15 @@ class Config:
     # accumulation: BN normalises per microbatch and running stats take
     # momentum once per microbatch.  batch_size % grad_accum == 0.
     grad_accum: int = 1
+    # train steps per host dispatch: >1 scans the fused train step over
+    # a stack of k raw batches in ONE XLA program (train/steps.py::
+    # make_fused_multi_step), hiding the per-step dispatch round trip
+    # (measured ~6% of the v5e step through the axon tunnel).  Identical
+    # per-step math (per-step losses still logged/NaN-checked); only
+    # preemption-check and logging LATENCY coarsens to k steps.
+    # Requires fuse_preprocess; epoch tails that don't fill a group run
+    # the single-step program.
+    steps_per_dispatch: int = 1
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False

@@ -114,21 +114,53 @@ STEM_POOL = dict(window_shape=(3, 3), strides=(2, 2),
                  padding=((1, 1), (1, 1)))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_pool_pallas_grad(x, interpret: bool = False):
+    """``nn.max_pool`` 3x3/s2/p1 whose backward is the Pallas kernel.
+
+    Forward is the IDENTICAL ``lax.reduce_window`` program; the VJP
+    routes through ``ops.pallas_kernels.max_pool_3x3s2p1_bwd_pallas``
+    (first-max torch tie routing, one HBM pass) instead of XLA's serial
+    ``select-and-scatter``.  Requires H even / W % 4 == 0 (the stem's
+    128x128 always is); reverse-mode only, like 'argmax'.
+    """
+    return nn.max_pool(x, STEM_POOL["window_shape"],
+                       strides=STEM_POOL["strides"],
+                       padding=STEM_POOL["padding"])
+
+
+def _pallas_fwd(x, interpret):
+    return max_pool_pallas_grad(x, interpret), x
+
+
+def _pallas_bwd(interpret, x, g):
+    from .pallas_kernels import max_pool_3x3s2p1_bwd_pallas
+    return (max_pool_3x3s2p1_bwd_pallas(x, g, interpret=interpret),)
+
+
+max_pool_pallas_grad.defvjp(_pallas_fwd, _pallas_bwd)
+
+
 def stem_max_pool(x, impl: str = "native"):
     """The ResNet-stem 3x3/s2/p1 max pool with a selectable gradient.
 
-    'argmax' = the fused argmax-routed VJP above; 'native' = flax
-    nn.max_pool (select-and-scatter gradient). Forward programs are
-    identical; eval/serving is unaffected by the choice. Caveat:
-    'argmax' is reverse-mode only (jax.custom_vjp blocks jvp/jacfwd);
-    use 'native' for any forward-mode autodiff tooling.
+    'native' = flax nn.max_pool (select-and-scatter gradient);
+    'argmax' = the fused argmax-routed VJP above (measured 0.54x,
+    kept as oracle); 'pallas' = identical forward with the one-pass
+    Pallas backward kernel.  Forward programs are identical across all
+    three; eval/serving is unaffected by the choice. Caveat: 'argmax'
+    and 'pallas' are reverse-mode only (jax.custom_vjp blocks
+    jvp/jacfwd); use 'native' for any forward-mode autodiff tooling.
     """
     if impl == "argmax":
         return max_pool_argmax_grad(x, STEM_POOL["window_shape"],
                                     STEM_POOL["strides"],
                                     STEM_POOL["padding"])
+    if impl == "pallas":
+        return max_pool_pallas_grad(x, jax.default_backend() != "tpu")
     if impl == "native":
         return nn.max_pool(x, STEM_POOL["window_shape"],
                            strides=STEM_POOL["strides"],
                            padding=STEM_POOL["padding"])
-    raise ValueError(f"pool_grad {impl!r} not in ('argmax', 'native')")
+    raise ValueError(
+        f"pool_grad {impl!r} not in ('argmax', 'native', 'pallas')")

@@ -56,6 +56,21 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def shard_batch_stacked(stack, mesh: Mesh):
+    """Shard a ``(k, B, ...)``-stacked group of batches over 'data'.
+
+    The multi-step-dispatch layout (``Config.steps_per_dispatch``): the
+    leading axis is the scan (step) axis and stays replicated; axis 1 is
+    each step's batch, sharded exactly like :func:`shard_batch` does for
+    a single batch, so every scanned step runs the same SPMD program as
+    the single-step path.
+    """
+    def put(a):
+        spec = P(None, "data", *([None] * (a.ndim - 2)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+    return jax.tree.map(put, stack)
+
+
 def global_shard_batch(batch, mesh: Mesh):
     """Assemble per-process local batch shards into global arrays.
 

@@ -263,17 +263,11 @@ def make_eval_step(model, cfg: Config, pck_thresholds=None):
     return eval_step
 
 
-def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
-                          aug_flags: dict | None = None):
-    """Train step that takes a RAW host batch and runs the device
-    preprocessing INSIDE the same XLA program as forward+backward+update.
-
-    Measured on v5e (b128 flagship): preprocess+forward as one program is
-    ~2x faster than as two (the scoremap dict never makes an HBM round
-    trip between programs, and XLA fuses the render into its consumers).
-    The raw->sample geometry gets no gradient (labels + network input),
-    so it adds nothing to the backward pass.
-    """
+def _make_fused_grad_one(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
+                         aug_flags: dict | None = None):
+    """The raw-batch gradient closure shared by the fused single- and
+    multi-step programs: device preprocessing (+ any enabled augs) and
+    forward+backward in one traced body."""
     flags = {k: v for k, v in (aug_flags or {}).items() if v}
     forward = _maybe_remat(model, cfg)
 
@@ -293,6 +287,64 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
         (_, (new_bs, losses)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         return grads, new_bs, losses
+
+    return grad_one
+
+
+def make_fused_multi_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
+                          aug_flags: dict | None = None,
+                          k: int | None = None):
+    """``k`` fused train steps in ONE dispatched XLA program.
+
+    ``lax.scan`` over a stack of ``k`` raw batches (leaves shaped
+    ``(k, B, ...)``): identical per-step math to
+    :func:`make_fused_train_step` -- same preprocessing, gradient,
+    Adam update and batch-stats chaining -- but the host dispatches
+    once per ``k`` steps, removing the per-step dispatch round trip
+    (through a remote tunnel that gap measured ~6% of the v5e step;
+    PCIe-local it is smaller but nonzero).  Returns the new state and
+    the per-step loss dicts stacked on a leading ``k`` axis, so the
+    Worker can still log/NaN-check every step.
+
+    The trade-offs are latency-of-visibility only: preemption checks
+    and loss logging happen at group granularity.  Replaces the
+    reference's per-batch host loop (reference trainval.py:361-362).
+    """
+    k = k or cfg.steps_per_dispatch
+    grad_one = _make_fused_grad_one(model, cfg, preprocess_fn, pp_kwargs,
+                                    aug_flags)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, raw_stack, rng):
+        rngs = jax.random.split(rng, k)
+
+        def body(st, xs):
+            raw_i, rng_i = xs
+            grads, new_bs, losses = _accum_grads(grad_one, st, raw_i,
+                                                 rng_i, cfg.grad_accum)
+            st = st.apply_gradients(grads=grads)
+            st = st.replace(batch_stats=new_bs)
+            return st, losses
+
+        state, losses_k = jax.lax.scan(body, state, (raw_stack, rngs))
+        return state, losses_k
+
+    return multi_step
+
+
+def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
+                          aug_flags: dict | None = None):
+    """Train step that takes a RAW host batch and runs the device
+    preprocessing INSIDE the same XLA program as forward+backward+update.
+
+    Measured on v5e (b128 flagship): preprocess+forward as one program is
+    ~2x faster than as two (the scoremap dict never makes an HBM round
+    trip between programs, and XLA fuses the render into its consumers).
+    The raw->sample geometry gets no gradient (labels + network input),
+    so it adds nothing to the backward pass.
+    """
+    grad_one = _make_fused_grad_one(model, cfg, preprocess_fn, pp_kwargs,
+                                    aug_flags)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, raw, rng):

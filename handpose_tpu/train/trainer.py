@@ -18,6 +18,7 @@ import os
 from typing import Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -26,7 +27,8 @@ from ..data.pipeline import device_batches, raw_device_batches
 from ..data.rhd import RHDDataset
 from ..data.synthetic import fake_sample_batch
 from ..models import build_model
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (make_mesh, replicate, shard_batch,
+                             shard_batch_stacked)
 from ..utils.logging import NullLogger, RunLogger, StepStats, make_run_dir
 from .checkpoints import filtered_resume, reconcile_schedule_count, \
     save_checkpoint
@@ -64,6 +66,7 @@ class Worker:
         self.model = build_model(cfg)
         self.train_step = make_train_step(self.model, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
+        self.multi_step = None   # set below iff steps_per_dispatch > 1
         self.fused = cfg.fuse_preprocess and not (
             cfg.use_fake_data or cfg.dataset_name == "synthetic")
 
@@ -125,6 +128,17 @@ class Worker:
                 self.model, cfg, pp_fn, pp_kwargs, aug)
             self.eval_step = make_fused_eval_step(
                 self.model, cfg, pp_fn, pp_kwargs)
+            if cfg.steps_per_dispatch > 1:
+                # k steps per host dispatch (lax.scan over stacked raw
+                # batches); the single-step program above still runs
+                # epoch tails that don't fill a group
+                from .steps import make_fused_multi_step
+                self.multi_step = make_fused_multi_step(
+                    self.model, cfg, pp_fn, pp_kwargs, aug)
+        if cfg.steps_per_dispatch > 1 and not self.fused:
+            raise ValueError("steps_per_dispatch > 1 requires "
+                             "fuse_preprocess=True (the multi-step scan "
+                             "consumes raw device batches)")
 
         # init state from one sample batch
         rng = jax.random.PRNGKey(cfg.seed)
@@ -332,23 +346,83 @@ class Worker:
                                 depth=max(cfg.prefetch_depth, 2), workers=1)
 
     # ------------------------------------------------------------------
+    def _finish_train_metrics(self, metrics, epoch, idx, losses_acc):
+        """Per-step bookkeeping shared by the single- and multi-step
+        paths: NaN abort, loss accumulation, periodic logging."""
+        if self.cfg.nan_check:
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                self.logger.text(
+                    f"FATAL: non-finite loss {loss_val} at epoch "
+                    f"{epoch} iter {idx}; aborting (resume from the "
+                    f"last checkpoint in {self.run_dir})")
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch} "
+                    f"iter {idx}")
+        for k, v in metrics.items():
+            if k not in ("mpjpe_sum", "mpjpe_count"):
+                losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
+        every = self.cfg.log_every_steps
+        if every and idx % every == 0:
+            # per-iteration visibility (reference tqdm loss breakdown,
+            # trainval.py:364) -- exposes input-boundness live
+            terms = ", ".join(
+                f"{k}: {float(v):.5f}" for k, v in metrics.items()
+                if k not in ("mpjpe_sum", "mpjpe_count"))
+            self.logger.text(
+                f"  epoch {epoch:03d} iter {idx:05d}/"
+                f"{self.steps_per_epoch:05d} | {terms} | "
+                f"{self.stats.summary()}")
+
+    def _run_group(self, group, epoch, losses_acc):
+        """Dispatch a full steps_per_dispatch group as ONE program and
+        book each scanned step's metrics (stacked on axis 0)."""
+        idx0, batches = group[0][0], [b for _, b in group]
+        stacked = shard_batch_stacked(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *batches), self.mesh)
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.stats.step.tic()
+        self.state, metrics_k = self.multi_step(self.state, stacked,
+                                                step_rng)
+        self.stats.step.toc()
+        host = jax.tree.map(np.asarray, metrics_k)
+        for j in range(len(group)):
+            self._finish_train_metrics(
+                {k: v[j] for k, v in host.items()}, epoch, idx0 + j,
+                losses_acc)
+        return len(group)
+
     def run_epoch(self, epoch: int, split: str, fast_debug: bool = False):
         is_train = split == "training"
         losses_acc: dict = {}
         mpjpe_sum = 0.0
         mpjpe_count = 0.0
         n = 0
+        group_k = self.cfg.steps_per_dispatch \
+            if is_train and self.multi_step is not None else 1
+        group: list = []
         self.stats.input.tic()
         for idx, batch in enumerate(self._epoch_batches(split, epoch)):
             self.stats.input.toc()
             if fast_debug and idx > 2:
                 break
             if self._preempt_now():
+                # buffered (not yet dispatched) group batches are dropped:
+                # the preemption checkpoint pins the interrupted epoch and
+                # resume restarts it, same as the single-step path
                 self.logger.text(
                     f"preemption requested: stopping {split} at epoch "
                     f"{epoch} iter {idx}")
+                group = []
                 break
             batch = shard_batch(batch, self.mesh)
+            if group_k > 1:
+                group.append((idx, batch))
+                if len(group) == group_k:
+                    n += self._run_group(group, epoch, losses_acc)
+                    group = []
+                self.stats.input.tic()
+                continue
             self.rng, step_rng = jax.random.split(self.rng)
             self.stats.step.tic()
             if is_train:
@@ -359,34 +433,25 @@ class Worker:
                 mpjpe_sum += float(metrics["mpjpe_sum"])
                 mpjpe_count += float(metrics["mpjpe_count"])
             self.stats.step.toc()
-            if is_train and self.cfg.nan_check:
-                loss_val = float(metrics["loss"])
-                if not np.isfinite(loss_val):
-                    self.logger.text(
-                        f"FATAL: non-finite loss {loss_val} at epoch "
-                        f"{epoch} iter {idx}; aborting (resume from the "
-                        f"last checkpoint in {self.run_dir})")
-                    raise FloatingPointError(
-                        f"non-finite training loss at epoch {epoch} "
-                        f"iter {idx}")
-            for k, v in metrics.items():
-                if k in ("mpjpe_sum", "mpjpe_count"):
-                    continue
-                losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
+            if is_train:
+                self._finish_train_metrics(metrics, epoch, idx, losses_acc)
+            else:
+                for k, v in metrics.items():
+                    if k in ("mpjpe_sum", "mpjpe_count"):
+                        continue
+                    losses_acc[k] = losses_acc.get(k, 0.0) + float(v)
             n += 1
-            every = self.cfg.log_every_steps
-            if is_train and every and idx % every == 0:
-                # per-iteration visibility (reference tqdm loss breakdown,
-                # trainval.py:364) -- exposes input-boundness live
-                terms = ", ".join(
-                    f"{k}: {float(v):.5f}" for k, v in metrics.items()
-                    if k not in ("mpjpe_sum", "mpjpe_count"))
-                self.logger.text(
-                    f"  epoch {epoch:03d} iter {idx:05d}/"
-                    f"{self.steps_per_epoch:05d} | {terms} | "
-                    f"{self.stats.summary()}")
             self.stats.input.tic()
         self.stats.input.toc()
+        # epoch tail that didn't fill a group: run single-step fused
+        for idx, batch in group:
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.stats.step.tic()
+            self.state, metrics = self.train_step(self.state, batch,
+                                                  step_rng)
+            self.stats.step.toc()
+            self._finish_train_metrics(metrics, epoch, idx, losses_acc)
+            n += 1
 
         means = {k: v / max(n, 1) for k, v in losses_acc.items()}
         # a validation pass that saw no visible keypoints (empty dataset or

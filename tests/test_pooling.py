@@ -116,3 +116,76 @@ def test_odd_sizes_and_vmap_under_jit():
     got = jax.jit(jax.vmap(jax.grad(f)))(x)
     want = jax.jit(jax.vmap(jax.grad(f_ref)))(x)
     _assert_same_routing(want, got)
+
+
+# ---------------------------------------------------------------------------
+# 'pallas' gradient (ops/pallas_kernels.py::max_pool_3x3s2p1_bwd_pallas):
+# same first-max routing as 'argmax'/torch, computed in one VMEM pass.
+# Interpret mode off-TPU (stem_max_pool auto-selects); the on-chip A/B
+# (tools/bench_pool_grad.py --values native,pallas) decides the speed.
+
+from handpose_tpu.ops.pooling import stem_max_pool
+
+
+def _pool_pallas(x):
+    return stem_max_pool(x, "pallas")
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+@pytest.mark.parametrize("case", ["ties", "stemlike"])
+def test_pallas_forward_identical(dtype, case):
+    x = jnp.asarray(_cases(np.float32)[case], dtype)
+    if x.shape[1] % 2 or x.shape[2] % 4:
+        pytest.skip("pallas path requires H even / W % 4 == 0")
+    a = jax.jit(_pool_ref)(x)
+    b = jax.jit(_pool_pallas)(x)
+    assert a.dtype == b.dtype and a.shape == b.shape
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+@pytest.mark.parametrize("case", ["ties", "stemlike"])
+def test_pallas_gradient_same_routing(dtype, case):
+    x = jnp.asarray(_cases(np.float32)[case], dtype)
+    w = jnp.asarray(np.random.default_rng(1).normal(
+        size=_pool_ref(x).shape).astype(np.float32), dtype)
+
+    def loss(pool, v):
+        return jnp.sum(pool(v) * w).astype(jnp.float32)
+
+    g_ref = jax.jit(jax.grad(lambda v: loss(_pool_ref, v)))(x)
+    g_new = jax.jit(jax.grad(lambda v: loss(_pool_pallas, v)))(x)
+    assert g_ref.dtype == g_new.dtype
+    _assert_same_routing(g_ref, g_new,
+                         tol=1e-6 if dtype == np.float32 else 1e-2)
+
+
+def test_pallas_gradient_matches_torch_maxpool():
+    torch = pytest.importorskip("torch")
+    x = _cases(np.float32)["ties"]
+    g = np.random.default_rng(2).normal(
+        size=(3, 8, 8, 4)).astype(np.float32)
+
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=True)
+    yt = torch.nn.functional.max_pool2d(xt, 3, stride=2, padding=1)
+    yt.backward(torch.tensor(np.transpose(g, (0, 3, 1, 2))))
+    want = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+
+    _, vjp = jax.vjp(_pool_pallas, jnp.asarray(x))
+    got = np.asarray(vjp(jnp.asarray(g))[0])
+    _assert_same_routing(want, got)
+
+
+def test_pallas_stem_shape_uneven_chunking():
+    """H//2 not divisible by the 16-row chunk: the tail chunk absorbs
+    the remainder (kernel's last-chunk e=Ho branch)."""
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(2, 36, 24, 5)).astype(np.float32))
+    dy = jnp.asarray(np.random.default_rng(5).normal(
+        size=(2, 18, 12, 5)).astype(np.float32))
+    _, vjp = jax.vjp(_pool_ref, x)
+    want = vjp(dy)[0]
+    _, vjp2 = jax.vjp(_pool_pallas, x)
+    got = vjp2(dy)[0]
+    _assert_same_routing(want, got)

@@ -759,3 +759,110 @@ def test_preempt_now_multihost_agreement(tmp_path, monkeypatch):
     peer["requested"] = False
     w.preempt.request()
     assert Worker._preempt_now(w) is True      # local request -> stop
+
+
+def test_multi_step_matches_sequential_single_steps(tmp_path):
+    """make_fused_multi_step(k) == k sequential make_fused_train_step
+    calls with the same derived per-step rngs (identical preprocessing,
+    grads, Adam updates and batch-stats chaining)."""
+    from handpose_tpu.data.preprocess import preprocess_batch
+    from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+    from handpose_tpu.train.steps import (make_fused_multi_step,
+                                          make_fused_train_step)
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=16, seed=21)
+    ds = RHDDataset(str(root), "evaluation")
+    raw0 = jax.device_put(ds.raw_batch(list(range(8))))
+    raw1 = jax.device_put(ds.raw_batch(list(range(8, 16))))
+
+    cfg = TINY.replace(use_fake_data=False, input_img_shape=(128, 128),
+                       input_channels=3, compute_dtype="float32",
+                       steps_per_dispatch=2)
+    model = build_model(cfg)
+    pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
+                     switch_joint_order=cfg.joint_order_switched)
+    batch = preprocess_batch(raw0, **pp_kwargs)
+    inp = model_input(batch, cfg.input_channels)
+    pose_x0 = batch["keypoint_xyz21_rel_normed"].reshape(8, 1, -1)
+    args = (inp, batch["camera_intrinsic_matrix"], batch["keypoint_scale"],
+            batch["keypoint_xyz_root"], pose_x0)
+
+    def mk_state(k):
+        return create_train_state(model, cfg, args, jax.random.PRNGKey(k),
+                                  10)
+
+    rng = jax.random.PRNGKey(7)
+    single = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    rngs = jax.random.split(rng, 2)
+    st = mk_state(0)
+    st, m0 = single(st, raw0, rngs[0])
+    st, m1 = single(st, raw1, rngs[1])
+
+    multi = make_fused_multi_step(model, cfg, preprocess_batch, pp_kwargs)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), raw0, raw1)
+    st_m, mk = multi(mk_state(0), stack, rng)
+
+    # Scan-vs-standalone: XLA fuses/reassociates differently inside
+    # lax.scan, so step 1's loss matches to f32 ulps, step 2's to ~1e-5
+    # relative, and the 2-step params to ~1e-4 (Adam's g/sqrt(v)
+    # rescaling amplifies the rounding).  A semantic bug (wrong rng
+    # split, batch order, dropped update) is orders of magnitude above
+    # these bands; the k=1 check below pins the program itself tightly.
+    np.testing.assert_allclose(np.asarray(mk["loss"]),
+                               [float(m0["loss"]), float(m1["loss"])],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(st_m.params), jax.tree.leaves(st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)
+    for a, b in zip(jax.tree.leaves(st_m.batch_stats),
+                    jax.tree.leaves(st.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)
+
+    # k=1 multi-step == the single fused step: same math modulo one
+    # scan wrapper.  Loss matches to 1e-6; params match except for an
+    # O(1)-count tail of elements where Adam's g/sqrt(v) rescaling
+    # amplifies reassociation-level grad differences (1/589824 measured
+    # at 7.6e-5) -- atol 5e-4 bounds that tail while staying orders
+    # below any semantic difference (wrong rng/batch => O(1e-2) global).
+    multi1 = make_fused_multi_step(model, cfg.replace(steps_per_dispatch=1),
+                                   preprocess_batch, pp_kwargs)
+    stack1 = jax.tree.map(lambda a: a[None], raw0)
+    rng1 = jax.random.split(jax.random.PRNGKey(9), 1)[0]
+    st_s, m_s = single(mk_state(2), raw0, rng1)
+    st_1, m_1 = multi1(mk_state(2), stack1, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m_1["loss"][0]), float(m_s["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st_1.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    assert int(st_m.step) == int(st.step) == 2
+
+
+def test_worker_multi_step_dispatch(tmp_path):
+    """Worker with steps_per_dispatch=2: groups dispatch through the
+    scanned program, the odd epoch tail runs the single-step program,
+    and every step is still logged/accumulated (n == steps)."""
+    from handpose_tpu.data.rhd import write_synthetic_rhd
+
+    root = tmp_path / "rhd"
+    write_synthetic_rhd(str(root), "evaluation", n=24, seed=22)
+    cfg = TINY.replace(use_fake_data=False, dataset_name="RHD",
+                       dataset_root_dir=str(root),
+                       use_val_dataset_to_debug=True, batch_size=8,
+                       input_channels=3, input_img_shape=(64, 64),
+                       steps_per_dispatch=2,
+                       save_log_dir=str(tmp_path / "logs"))
+    w = Worker(cfg)
+    assert w.fused and w.multi_step is not None
+    w.run_epoch(0, "training")        # 3 steps: one group of 2 + tail 1
+    assert int(w.state.step) == 3
+    val = w.run_epoch(0, "validation")
+    assert np.isfinite(val)
+
+
+def test_multi_step_requires_fused():
+    import pytest as _pytest
+    cfg = TINY.replace(fuse_preprocess=False, steps_per_dispatch=4)
+    with _pytest.raises(ValueError, match="steps_per_dispatch"):
+        Worker(cfg)

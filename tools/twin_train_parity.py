@@ -336,7 +336,8 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
              batch_size: int = 8, epochs: int = 4, crop: int = 64,
              sigma: float = 6.25, feat_dim: int = 256, seed: int = 0,
              data_root: str | None = None, shadow: bool = False,
-             shadow_seeds: int = 1) -> dict:
+             shadow_seeds: int = 1,
+             overrides: list[str] | None = None) -> dict:
     """Train both frameworks in lockstep; return the trajectories.
 
     With ``shadow=True`` the JAX loop runs again from an init perturbed
@@ -389,6 +390,14 @@ def run_twin(model_name: str, n_train: int = 200, n_val: int = 48,
 
     tm, model, params, stats, cfg = build_pair(model_name, feat_dim)
     cfg = cfg.replace(max_epoch=epochs)
+    if overrides:
+        # JAX-side-only Config overrides (e.g. bn_variance=fast): measures
+        # whether a knob's numerics stay inside the chaos band vs the
+        # UNMODIFIED torch reference
+        from handpose_tpu.config import apply_overrides
+        from handpose_tpu.models import build_model as _bm
+        cfg = apply_overrides(cfg, overrides)
+        model = _bm(cfg)
     trainer_b = model_name in ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
     m5 = model_name == "DiffusionHandPose"
     m2 = model_name == "TwoDimHandPoseWithFK"
@@ -644,11 +653,15 @@ def main():
     p.add_argument("--shadow-seeds", type=int, default=1,
                    help="number of independently-perturbed shadow runs; "
                         "the ensemble max bounds the chaos band")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="JAX-side Config override (repeatable), e.g. "
+                        "--set bn_variance=fast")
     args = p.parse_args()
     res = run_twin(args.model, n_train=args.n_train, n_val=args.n_val,
                    batch_size=args.batch_size, epochs=args.epochs,
                    crop=args.crop, feat_dim=args.feat_dim, seed=args.seed,
-                   shadow=args.shadow, shadow_seeds=args.shadow_seeds)
+                   shadow=args.shadow, shadow_seeds=args.shadow_seeds,
+                   overrides=args.set)
     print(json.dumps(res))
 
 
