@@ -210,7 +210,9 @@ def _pool_bwd_chunk(R0, R1, dyp, s, e, Ho, Wo, C, neg):
                   rows(R1, s, e + 1)))
 
     def col0(v3):
-        return jax.lax.broadcasted_iota(jnp.float32, v3.shape, 1)
+        # tpu.iota must be integer-typed; compare in f32 (supported)
+        return jax.lax.broadcasted_iota(
+            jnp.int32, v3.shape, 1).astype(jnp.float32)
 
     def view(di, dj):
         r = r_di[di]
