@@ -1,20 +1,30 @@
 """Benchmark suite: honest end-to-end + training + diffusion + MFU.
 
-Prints ONE JSON line. Primary metric: RHD end-to-end throughput -- host
-memmap read (decode tier) -> H2D transfer -> fused device preprocessing
-(crop, transforms, scoremaps) -> flagship-model forward
+Prints one cumulative JSON line per completed section (stdout); the LAST
+line printed is always the most complete record, so a driver timeout
+mid-run still captures every section that finished -- round 4's bench
+compiled ~12 XLA programs and emitted nothing until the very end, and a
+degraded tunnel (~4 min/compile) turned that into rc=124 with zero
+captured numbers.  Three defenses now:
+
+  * sections run in importance order (fused forward -> train step ->
+    host path -> the rest), each guarded by try/except -- one failure
+    costs one section, not the run;
+  * a wall-clock budget (HPT_BENCH_BUDGET_S, default 1500 s): a section
+    whose estimated cost exceeds the remaining budget is recorded as
+    "skipped_budget" instead of blowing the driver's window;
+  * every XLA program is AOT-compiled exactly once (jit .lower()
+    .compile()) and the SAME executable serves both the timing loop and
+    the XLA cost_analysis -- the old path compiled most programs twice.
+
+Primary metric: RHD preprocessing+inference throughput -- the fused
+device preprocess (crop, transforms, scoremaps) + flagship-model forward
 (Hand3DPosePriorNetwork, the reference's default, reference config.py:42)
--- with fresh batches every iteration, on the real accelerator.
+program, device-resident b256.  vs_baseline divides by the reference's
+input-bound pipeline rate of ~26.5 img/s (6-10 s per bs=200 batch fetch,
+author comment at reference trainval.py:270, on its intended A100 node).
 
-vs_baseline divides by the reference's input-bound pipeline rate of
-~26.5 img/s (6-10 s per bs=200 batch fetch, author comment at reference
-trainval.py:270, on its intended A100 node).  Both sides now include the
-host read + transfer + preprocessing + forward, so the comparison is
-apples-to-apples at the decode tier (PNG inflation itself is excluded on
-both sides: the reference's cost is dominated by geometry, and this
-framework amortises decode once into a uint8 memmap cache).
-
-Extra keys in the same JSON object:
+Keys (each section documents its own):
   e2e_host_to_infer_img_per_sec  fresh batches: host read + H2D + fused
                                  preprocess + forward
   host_native_decode_img_per_sec / host_read_img_per_sec /
@@ -24,7 +34,8 @@ Extra keys in the same JSON object:
                               the argmin stage
   b1_network_rtt_ms           measured 4-byte D2H round trip (the tunnel
                               component inside infer_latency_p50_ms_b1)
-  train_step_img_per_sec      full jitted train step (fwd+bwd+Adam), bBATCH
+  train_step_img_per_sec      full fused train step (preprocess + fwd +
+                              bwd + Adam), b256
   infer_latency_p50_ms_b1     single-image fused preprocess+forward
   infer_latency_amortised_ms_b1  same program, 30 chained calls + one
                               final fetch (tunnel round trip amortised)
@@ -47,6 +58,7 @@ value that depends on every iteration cannot).
 import json
 import os
 import statistics
+import sys
 import time
 
 import jax
@@ -64,15 +76,40 @@ N_SAMPLES = 512
 # of the win without b512's memory/compile cost.
 BATCH = 256
 
+_DEADLINE = None  # set in main()
+
+
+def _remaining() -> float:
+    return float("inf") if _DEADLINE is None else _DEADLINE - time.monotonic()
+
 
 def _sync(x) -> float:
     """Force execution of everything ``x`` depends on via a host fetch."""
     return float(np.asarray(jnp.sum(x)))
 
 
+def _aot(jitted, *args):
+    """Compile a jitted fn ONCE (AOT) and return (compiled, flops).
+
+    The same executable serves the timing loop and the flops count --
+    calling the jit wrapper after ``.lower().compile()`` would compile
+    the program a second time through the separate jit cache.
+    """
+    compiled = jitted.lower(*args).compile()
+    flops = 0.0
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    return compiled, flops
+
+
 def _bench_dataset():
     """The synthetic RHD bench set, created on first use (any entry
-    point: bench.py itself, tools/bench_bn_modes.py, the profiler)."""
+    point: bench.py itself, tools/ab_train_step.py, the profiler)."""
     from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
 
     anno = os.path.join(BENCH_DATA, "evaluation", "anno_evaluation.pickle")
@@ -101,67 +138,71 @@ def make_fused_infer_pipe(cfg, model, variables):
     return pipe
 
 
-def _flops(jitted, *args) -> float:
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
-def bench_e2e(cfg, model, variables):
-    """Host memmap -> H2D -> preprocess -> forward, fresh batches.
-
-    Preprocess + forward are ONE jitted program (no HBM round-trip of the
-    21x256x256 scoremaps between programs); collation + H2D run in a small
-    thread pool overlapped with device compute (pipeline.raw_device_batches).
-    """
-    from handpose_tpu.data.pipeline import raw_device_batches
-    from handpose_tpu.data.preprocess import model_input, preprocess_batch
-
-    ds = _bench_dataset()
-    pipe = make_fused_infer_pipe(cfg, model, variables)
-
-    def epoch(carry):
-        n = 0
-        for raw in raw_device_batches(ds, BATCH, depth=2, workers=1):
-            carry = pipe(raw, carry)
-            n += BATCH
-        return carry, n
-
-    carry = jnp.zeros(())
-    carry, _ = epoch(carry)              # warmup: compile + warm page cache
-    _sync(carry)
-
-    total, epochs = 0, 4
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        carry, n = epoch(carry)
-        total += n
-    _sync(carry)
-    dt = time.perf_counter() - t0
-    e2e = total / dt
-
-    # device-resident single repeat batch through the same program
-    # (round-1's metric: excludes host read + H2D + batch variation)
-    raw_dev = jax.device_put(ds.raw_batch(list(range(BATCH))))
-    carry = pipe(raw_dev, jnp.zeros(()))
-    _sync(carry)
-    iters = 20
+def _rate(compiled, args_fn, n_items, iters=20, warm=1):
+    """items/sec of ``compiled`` over chained iterations + final fetch."""
+    out = None
+    for _ in range(warm):
+        out = compiled(*args_fn(out))
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = pipe(raw_dev, carry)
-    _sync(carry)
-    resident = BATCH * iters / (time.perf_counter() - t0)
+        out = compiled(*args_fn(out))
+    _sync(out)
+    return n_items * iters / (time.perf_counter() - t0)
 
-    fwd_flops = _flops(pipe, raw_dev, jnp.zeros(()))   # per batch
 
-    # model-only forward (no preprocessing in the program): the honest
-    # "model MFU" -- the fused number above includes real preprocessing
-    # flops and is reported separately as mfu_fused_forward
-    sample = preprocess_batch(raw_dev, crop_size=cfg.crop_size)
+# ---------------------------------------------------------------------------
+# sections (each returns a dict of result keys)
+
+
+def sec_fused_forward(ctx):
+    """Device-resident fused preprocess+forward: the primary metric."""
+    ds = _bench_dataset()
+    ctx["ds"] = ds
+    raw_dev = jax.device_put(ds.raw_batch(list(range(BATCH))))
+    ctx["raw_dev"] = raw_dev
+    pipe = make_fused_infer_pipe(ctx["cfg"], ctx["model"], ctx["variables"])
+    compiled, fwd_flops = _aot(pipe, raw_dev, jnp.zeros(()))
+    ctx["pipe_b256"] = compiled
+
+    rate = _rate(compiled,
+                 lambda out: (raw_dev, jnp.zeros(()) if out is None else out),
+                 BATCH)
+    ctx["resident"] = rate
+    mfu = (fwd_flops / BATCH) * rate / PEAK_BF16_FLOPS
+    return {
+        "value": round(rate, 1),
+        "vs_baseline": round(rate / BASELINE_IMG_PER_SEC, 2),
+        "mfu_fused_forward": round(mfu, 4),
+    }
+
+
+def sec_train_step(ctx):
+    """Fused production train step: raw batch -> preprocess + fwd + bwd +
+    Adam update in ONE program (what Worker runs)."""
+    rate, train_flops = bench_train_step(ctx["cfg"], ctx["model"],
+                                         dataset=ctx.get("ds"))
+    mfu = (train_flops / BATCH) * rate / PEAK_BF16_FLOPS
+    cfg = ctx["cfg"]
+    return {
+        "train_step_img_per_sec": round(rate, 1),
+        "mfu_train": round(mfu, 4),
+        "train_note": "fused production step: raw batch -> preprocess + "
+                      f"fwd + bwd + Adam in one program, b{BATCH} bf16, "
+                      f"bn_variance={cfg.bn_variance!r} (the default; "
+                      "'stable' partition-invariant variance is one flag "
+                      f"away at ~10% cost), pool_grad={cfg.pool_grad!r}, "
+                      f"steps_per_dispatch={cfg.steps_per_dispatch}",
+    }
+
+
+def sec_model_forward(ctx):
+    """Model-only forward (no preprocessing in the program): the honest
+    'model MFU' -- the fused number includes real preprocessing flops."""
+    from handpose_tpu.data.preprocess import model_input, preprocess_batch
+
+    cfg, model, variables = ctx["cfg"], ctx["model"], ctx["variables"]
+    sample = preprocess_batch(ctx["raw_dev"], crop_size=cfg.crop_size)
     inp0 = model_input(sample, cfg.input_channels)
     margs = (sample["camera_intrinsic_matrix"], sample["keypoint_scale"],
              sample["keypoint_xyz_root"])
@@ -172,19 +213,45 @@ def bench_e2e(cfg, model, variables):
         out = model.apply(variables, inp, *margs, train=False)
         return jnp.sum(out.coord_xyz_rel_normed)
 
-    carry = fwd(inp0, jnp.zeros(()))
+    compiled, model_flops = _aot(fwd, inp0, jnp.zeros(()))
+    rate = _rate(compiled,
+                 lambda out: (inp0, jnp.zeros(()) if out is None else out),
+                 BATCH)
+    return {"mfu_model_forward":
+            round((model_flops / BATCH) * rate / PEAK_BF16_FLOPS, 4)}
+
+
+def sec_e2e(ctx):
+    """Host memmap -> H2D -> preprocess -> forward, fresh batches.
+
+    Reuses the already-compiled b256 pipe; collation + H2D run in a
+    small thread pool overlapped with device compute."""
+    from handpose_tpu.data.pipeline import raw_device_batches
+
+    ds, pipe = ctx["ds"], ctx["pipe_b256"]
+
+    def epoch(carry):
+        n = 0
+        for raw in raw_device_batches(ds, BATCH, depth=2, workers=1):
+            carry = pipe(raw, carry)
+            n += BATCH
+        return carry, n
+
+    carry = jnp.zeros(())
+    carry, _ = epoch(carry)              # warm page cache + transfer path
     _sync(carry)
-    iters = 20
+    total, epochs = 0, 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = fwd(inp0, carry)
+    for _ in range(epochs):
+        carry, n = epoch(carry)
+        total += n
     _sync(carry)
-    model_rate = BATCH * iters / (time.perf_counter() - t0)
-    model_flops = _flops(fwd, inp0, jnp.zeros(()))
-    return e2e, resident, fwd_flops, model_rate, model_flops
+    e2e = total / (time.perf_counter() - t0)
+    ctx["e2e"] = e2e
+    return {"e2e_host_to_infer_img_per_sec": round(e2e, 1)}
 
 
-def bench_host_path(ds, n_img: int = BATCH):
+def sec_host_path(ctx):
     """Decompose the fresh-batch path into its stages, measured ALONE:
 
       host_native_decode_img_per_sec  PNG -> uint8 via the native batched
@@ -199,6 +266,8 @@ def bench_host_path(ds, n_img: int = BATCH):
     names the bottleneck from measurement instead of assertion."""
     from handpose_tpu.data import native_decode
 
+    ds = ctx["ds"]
+    n_img = BATCH
     idx0 = [i % len(ds) for i in range(n_img)]
     raw0 = ds.raw_batch(idx0)
     H, W = raw0.image.shape[1:3]
@@ -222,16 +291,13 @@ def bench_host_path(ds, n_img: int = BATCH):
         ds.raw_batch([(i + r * n_img) % len(ds) for i in range(n_img)])
     read_rate = n_img * reps / (time.perf_counter() - t0)
 
-    # H2D: alternate two distinct host batches (jax caches nothing across
-    # device_put of ndarrays, but alternating also defeats any OS-level
-    # page reuse); a tiny device-side add + 4-byte fetch realises the
-    # transfer (axon's device_put has returned early before)
+    # H2D: alternate two distinct host batches; a tiny device-side add +
+    # 4-byte fetch realises the transfer (axon's device_put has returned
+    # early before)
     raw1 = ds.raw_batch([(i + n_img) % len(ds) for i in range(n_img)])
     nbytes = sum(np.asarray(a).nbytes for a in raw0)
 
     def touch(dev):
-        # a value depending on EVERY transferred buffer, fetched to host
-        # (block_until_ready has returned early through the tunnel before)
         _sync(sum(jnp.ravel(a)[0].astype(jnp.float32) for a in dev))
 
     for r in (raw0, raw1):                       # warm the transfer path
@@ -240,26 +306,49 @@ def bench_host_path(ds, n_img: int = BATCH):
     for i in range(reps):
         touch(jax.device_put(raw0 if i % 2 == 0 else raw1))
     dt = time.perf_counter() - t0
-    return decode_rate, read_rate, nbytes * reps / dt / 1e9, \
-        n_img * reps / dt
+    h2d_img_s = n_img * reps / dt
+
+    resident = ctx.get("resident", float("nan"))
+    stages = [("h2d", h2d_img_s), ("host_read", read_rate),
+              ("device_compute", resident)]
+    return {
+        "host_native_decode_img_per_sec": round(decode_rate, 1),
+        "host_read_img_per_sec": round(read_rate, 1),
+        "h2d_gbytes_per_sec": round(nbytes * reps / dt / 1e9, 3),
+        "h2d_img_per_sec": round(h2d_img_s, 1),
+        "e2e_bottleneck": min(stages, key=lambda kv: kv[1])[0],
+        # derived: what the fresh-batch e2e would sustain if H2D were
+        # PCIe-class instead of the measured tunnel rate -- the
+        # remaining stages' argmin (r5 measured the tunnel H2D alone at
+        # ~0.03 GB/s = ~60 img/s, the e2e bottleneck by 6x; PCIe-local
+        # H2D of the ~0.43 MB/img raw batch is >10 GB/s, off the
+        # critical path entirely)
+        "e2e_pcie_local_expected_img_per_sec": round(
+            min(read_rate, resident), 1),
+        "e2e_note": "fresh batches: memmap read + H2D + fused preprocess "
+                    "+ forward; e2e_bottleneck is the argmin of the "
+                    "measured stage rates (host_read_img_per_sec, "
+                    "h2d_img_per_sec, the device-resident rate) -- "
+                    "native decode is the cache-BUILD tier, not on the "
+                    "epoch path",
+    }
 
 
-def bench_b1_latency(cfg, model, variables):
+def sec_b1_latency(ctx):
     """Single-image serving latency: raw sample -> fused preprocess +
-    flagship forward, p50 over individual (chained) iterations.
-
-    The throughput numbers amortise over b256; this is the other end of
-    the serving envelope (online inference)."""
-    ds = _bench_dataset()
+    flagship forward, p50 over individual (chained) iterations."""
+    ds = ctx["ds"]
     raw = jax.device_put(ds.raw_batch([0]))
-    pipe1 = make_fused_infer_pipe(cfg, model, variables)
+    pipe1 = make_fused_infer_pipe(ctx["cfg"], ctx["model"],
+                                  ctx["variables"])
+    compiled, _ = _aot(pipe1, raw, jnp.zeros(()))
 
-    carry = pipe1(raw, jnp.zeros(()))
+    carry = compiled(raw, jnp.zeros(()))
     _sync(carry)
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        carry = pipe1(raw, carry)
+        carry = compiled(raw, carry)
         _sync(carry)
         lat.append((time.perf_counter() - t0) * 1e3)
 
@@ -269,14 +358,12 @@ def bench_b1_latency(cfg, model, variables):
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry = pipe1(raw, carry)
+        carry = compiled(raw, carry)
     _sync(carry)
     amortised = (time.perf_counter() - t0) / iters * 1e3
 
     # network round trip alone: D2H fetch of an already-computed 4-byte
     # scalar (fresh array each time -- jax caches a fetched ._npy_value).
-    # Through the axon tunnel this dominates the per-call p50; reported
-    # separately so the p50 key tracks the DEVICE across rounds.
     scalars = [jnp.full((), float(i)) for i in range(15)]
     jax.block_until_ready(scalars)
     rtt = []
@@ -284,10 +371,22 @@ def bench_b1_latency(cfg, model, variables):
         t0 = time.perf_counter()
         float(np.asarray(s))
         rtt.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(lat), amortised, statistics.median(rtt)
+    return {
+        "infer_latency_p50_ms_b1": round(statistics.median(lat), 2),
+        "infer_latency_amortised_ms_b1": round(amortised, 2),
+        "b1_network_rtt_ms": round(statistics.median(rtt), 2),
+        "b1_note": "p50 is single-image fused preprocess+forward incl. "
+                   "one host fetch per call; b1_network_rtt_ms is the "
+                   "measured 4-byte D2H round trip alone (through the "
+                   "axon tunnel it dominates the p50 -- track p50 minus "
+                   "rtt across rounds for the device); amortised chains "
+                   "30 dependent calls with ONE final fetch, i.e. "
+                   "per-call device+dispatch time (what PCIe-local "
+                   "serving sees)",
+    }
 
 
-def bench_interhand(cfg, model, variables):
+def sec_interhand(ctx):
     """Second dataset family: fused InterHand2.6M preprocess + flagship
     forward, device-resident b{BATCH} (same production program shape the
     Worker compiles for dataset_name=InterHand2.6M)."""
@@ -296,14 +395,14 @@ def bench_interhand(cfg, model, variables):
     from handpose_tpu.data.preprocess import (model_input,
                                               preprocess_interhand_batch)
 
+    cfg, model, variables = ctx["cfg"], ctx["model"], ctx["variables"]
     root = os.environ.get("HPT_BENCH_IH_DATA", "/tmp/hpt_bench_ih")
     anno = os.path.join(root, "annotations", "val",
                         "InterHand2.6M_val_data.json")
     if not os.path.exists(anno):
         write_synthetic_interhand(root, "val", n=64, image_size=320)
-    # pad_to="auto" matches what the Worker compiles for (and, unlike a
-    # hardcoded pad, never CROPS a real InterHand 512x334 capture when
-    # HPT_BENCH_IH_DATA points at a real tree)
+    # pad_to="auto" matches what the Worker compiles for (and never CROPS
+    # a real InterHand capture when HPT_BENCH_IH_DATA points at one)
     ds = InterHandDataset(root, "val", pad_to="auto")
     idx = [i % len(ds) for i in range(BATCH)]   # tile up to a full batch
     raw = jax.device_put(ds.raw_batch(idx))
@@ -321,27 +420,81 @@ def bench_interhand(cfg, model, variables):
                           sample["keypoint_xyz_root"], train=False)
         return jnp.sum(out.coord_xyz_rel_normed)
 
-    carry = pipe(raw, jnp.zeros(()))
-    _sync(carry)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = pipe(raw, carry)
-    _sync(carry)
-    return BATCH * iters / (time.perf_counter() - t0)
+    compiled, _ = _aot(pipe, raw, jnp.zeros(()))
+    rate = _rate(compiled,
+                 lambda out: (raw, jnp.zeros(()) if out is None else out),
+                 BATCH)
+    return {
+        "interhand_preproc_plus_infer_img_per_sec": round(rate, 1),
+        "interhand_note": "second dataset family: fused InterHand2.6M "
+                          "preprocess (auto pad, bbox crop) + flagship "
+                          f"forward, device-resident b{BATCH}",
+    }
 
 
-def bench_train_step(cfg, model, batch_size: int | None = None):
-    """Fused production train step: raw batch -> preprocess + fwd + bwd +
-    Adam update in ONE program (what Worker runs; 13% over the separate
-    step, 27% counting the removed preprocess program)."""
+def _make_ddim_sampler(cfg, B):
+    from handpose_tpu.nn.diffusion import DiffusionJointEstimation
+
+    dje = DiffusionJointEstimation(
+        keypoint_num=cfg.keypoint_num,
+        condition_feat_dim=cfg.condition_feat_dim,
+        num_timesteps=cfg.num_timesteps,
+        num_sampling_timesteps=cfg.num_sampling_timesteps,
+        sampler_unroll=cfg.sampler_unroll)
+    feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
+    x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
+    variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
+                         jax.random.PRNGKey(1))
+
+    @jax.jit
+    def sample(rng):
+        return dje.apply(variables, feat, rng, method=dje.sample)
+
+    compiled, _ = _aot(sample, jax.random.PRNGKey(2))
+    return compiled
+
+
+def _ddim_p50(compiled, iters):
+    _sync(compiled(jax.random.PRNGKey(2)))        # warm
+    lat = []
+    for i in range(iters):
+        rng = jax.random.PRNGKey(3 + i)
+        t0 = time.perf_counter()
+        _sync(compiled(rng))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat)
+
+
+def sec_diffusion_b8(ctx):
+    """200-step DDIM denoise loop (jitted lax.scan), B=8 latency."""
+    p50 = _ddim_p50(_make_ddim_sampler(ctx["cfg"], 8), 9)
+    return {"diffusion_ddim_p50_ms": round(p50, 2)}
+
+
+def sec_diffusion_b256(ctx):
+    """Batched DDIM sampling: amortises the loop's tiny-op fixed cost
+    (~600 HLOs/step, see tools/profile_train_step.py --program ddim)."""
+    B = 256
+    p50 = _ddim_p50(_make_ddim_sampler(ctx["cfg"], B), 5)
+    return {f"diffusion_ddim_throughput_b{B}_samples_per_sec":
+            round(B / (p50 / 1e3), 1)}
+
+
+# ---------------------------------------------------------------------------
+
+
+def bench_train_step(cfg, model, batch_size: int | None = None,
+                     dataset=None):
+    """Fused production train step (shared with tools/ab_train_step.py):
+    returns (img/sec, flops-per-step)."""
     from handpose_tpu.data.preprocess import model_input, preprocess_batch
     from handpose_tpu.train.state import create_train_state
-    from handpose_tpu.train.steps import make_fused_train_step
+    from handpose_tpu.train.steps import (make_fused_multi_step,
+                                          make_fused_train_step)
 
-    BATCH = batch_size or globals()["BATCH"]
-    ds = _bench_dataset()
-    raw = jax.device_put(ds.raw_batch([i % len(ds) for i in range(BATCH)]))
+    B = batch_size or BATCH
+    ds = dataset if dataset is not None else _bench_dataset()
+    raw = jax.device_put(ds.raw_batch([i % len(ds) for i in range(B)]))
     pp_kwargs = dict(crop_size=cfg.crop_size, sigma=cfg.sigma,
                      switch_joint_order=cfg.joint_order_switched)
     # init from a tiny slice: state shapes are batch-independent, and
@@ -360,7 +513,6 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
         # k steps per dispatch (train/steps.py::make_fused_multi_step):
         # the same raw batch stacked k times -- identical per-step work,
         # one host dispatch per k steps
-        from handpose_tpu.train.steps import make_fused_multi_step
         step = make_fused_multi_step(model, cfg, preprocess_batch,
                                      pp_kwargs)
         raw = jax.tree.map(lambda a: jnp.stack([a] * k), raw)
@@ -369,13 +521,15 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
                                      pp_kwargs)
     rng = jax.random.PRNGKey(1)
 
-    # XLA-counted flops of the ACTUAL fused train-step program (replaces
-    # the former 3x-forward heuristic); lower() before the donating call
-    # so the donated buffers are still alive.  Normalised to ONE step so
-    # callers' per-image math is k-independent.
-    train_flops = _flops(step, state, raw, rng) / k
+    # ONE AOT compile serves both the flops count and the timing loop.
+    # XLA cost_analysis counts a lax.scan body ONCE, not x trip count
+    # (verified: the k-step program's counted flops equal the k=1
+    # program's to 3 decimals for k in {2,4}), and the multi-step scan
+    # body IS one full train step -- so the counted flops are already
+    # per-step for every k.
+    compiled, train_flops = _aot(step, state, raw, rng)
 
-    state, m = step(state, raw, rng)            # compile
+    state, m = compiled(state, raw, rng)
     _sync(m["loss"])
     # 3 windows of 10 dispatches, best window: a single dispatch stall
     # through the tunnel distorts a lone 1-second window by >10%
@@ -383,57 +537,16 @@ def bench_train_step(cfg, model, batch_size: int | None = None):
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, m = step(state, raw, rng)    # state chains iterations
+            state, m = compiled(state, raw, rng)   # state chains iterations
         _sync(m["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
-    return BATCH * k * iters / best_dt, train_flops
-
-
-def bench_diffusion_p50(cfg, throughput_batch: int = 256):
-    from handpose_tpu.nn.diffusion import DiffusionJointEstimation
-
-    def make_sampler(B):
-        dje = DiffusionJointEstimation(
-            keypoint_num=cfg.keypoint_num,
-            condition_feat_dim=cfg.condition_feat_dim,
-            num_timesteps=cfg.num_timesteps,
-            num_sampling_timesteps=cfg.num_sampling_timesteps,
-            sampler_unroll=cfg.sampler_unroll)
-        feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
-        x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
-        variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
-                             jax.random.PRNGKey(1))
-
-        @jax.jit
-        def sample(rng):
-            return dje.apply(variables, feat, rng, method=dje.sample)
-
-        return sample
-
-    def p50(sample, iters):
-        _sync(sample(jax.random.PRNGKey(2)))        # compile
-        lat = []
-        for i in range(iters):
-            rng = jax.random.PRNGKey(3 + i)
-            t0 = time.perf_counter()
-            _sync(sample(rng))
-            lat.append((time.perf_counter() - t0) * 1e3)
-        return statistics.median(lat)
-
-    lat_b8 = p50(make_sampler(8), 9)
-    # serving-envelope companion: batched sampling amortises the DDIM
-    # loop's tiny-op fixed cost (the loop is ~600 HLOs/step, see
-    # tools/profile_train_step.py --program ddim)
-    tp_p50 = p50(make_sampler(throughput_batch), 5)
-    return lat_b8, throughput_batch / (tp_p50 / 1e3), throughput_batch
+    return B * k * iters / best_dt, train_flops
 
 
 def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
     """Retry first device contact: the tunneled TPU backend comes and
     goes; a transient blip should cost a minute, not the bench run.
-    Progress goes to stderr -- stdout stays the single JSON line."""
-    import sys
-
+    Progress goes to stderr -- stdout stays JSON lines only."""
     for i in range(attempts):
         try:
             devs = jax.devices()
@@ -457,8 +570,55 @@ def _wait_for_devices(attempts: int = 3, delay_s: float = 30.0):
         return devs
 
 
+# (name, fn, estimated cost in seconds -- compile-dominated; a section
+# is skipped when the remaining budget is below its estimate).  The
+# estimates are the r5 measured section times on a healthy tunnel plus
+# ~50% headroom (bench_sections in BENCH_r05 records the actuals).
+SECTIONS = (
+    ("fused_forward", sec_fused_forward, 100),
+    ("train_step", sec_train_step, 260),
+    ("model_forward", sec_model_forward, 100),
+    ("e2e", sec_e2e, 80),
+    ("host_path", sec_host_path, 180),
+    ("b1_latency", sec_b1_latency, 80),
+    ("interhand", sec_interhand, 70),
+    ("diffusion_b8", sec_diffusion_b8, 480),
+    ("diffusion_b256", sec_diffusion_b256, 360),
+)
+
+
 def main():
+    global _DEADLINE
+    budget = float(os.environ.get("HPT_BENCH_BUDGET_S", "1500"))
+    _DEADLINE = time.monotonic() + budget
     _wait_for_devices()
+
+    results = {
+        # BASELINE.md target: RHD preprocessing+inference >5k img/s/chip.
+        # Primary value is the device-resident rate of the fused
+        # preprocess+forward program (what the chip sustains when fed).
+        "metric": "rhd_preproc_plus_infer_throughput",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "baseline_note": "ref ~26.5 img/s (input-bound, incl. disk+decode "
+                         "on its A100 node); ours is the fused on-chip "
+                         f"preprocess+forward program at b{BATCH}",
+        "mfu_note": "all XLA-cost_analysis-counted flops / (time x "
+                    "197 TFLOP/s bf16 peak): model-only forward program, "
+                    "fused preprocess+forward program (includes real "
+                    "preprocessing flops), and the actual fused "
+                    "preprocess+fwd+bwd+Adam train-step program",
+        "device": jax.devices()[0].device_kind,
+        "bench_budget_s": budget,
+        "bench_sections": {},
+    }
+
+    def emit():
+        print(json.dumps(results), flush=True)
+
+    emit()   # parseable skeleton even if model init below stalls
+
     from handpose_tpu.config import Config
     from handpose_tpu.data.synthetic import fake_sample_batch
     from handpose_tpu.data.preprocess import model_input
@@ -467,93 +627,35 @@ def main():
     cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
                  batch_size=BATCH)
     model = build_model(cfg)
-    warm = fake_sample_batch(BATCH, cfg.crop_size, cfg.input_channels, seed=0)
+    # init from a small slice: variable shapes are batch-independent and
+    # a b256 eager init would waste a minute of the budget off-TPU
+    warm = fake_sample_batch(8, cfg.crop_size, cfg.input_channels, seed=0)
     inp = model_input(warm, cfg.input_channels)
     variables = model.init(
         {"params": jax.random.PRNGKey(0)}, inp,
         warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
         warm["keypoint_xyz_root"], train=False)
+    ctx = {"cfg": cfg, "model": model, "variables": variables}
 
-    e2e, resident, fwd_flops, model_rate, model_flops = \
-        bench_e2e(cfg, model, variables)
-    decode_rate, read_rate, h2d_gbs, h2d_img_s = \
-        bench_host_path(_bench_dataset())
-    b1_p50, b1_amortised, b1_rtt = bench_b1_latency(cfg, model, variables)
-    ih_rate = bench_interhand(cfg, model, variables)
-    train_img_s, train_flops = bench_train_step(cfg, model)
-    # MFU from device-resident rates: e2e is H2D-transfer-bound through
-    # the axon tunnel (~35 MB/s realised at execution time) and would
-    # misstate chip utilisation.  Three honest keys:
-    #   mfu_model_forward -- model-only program (the "model MFU")
-    #   mfu_fused_forward -- preprocess+forward fused program (its flops
-    #                        include the real preprocessing work)
-    #   mfu_train         -- XLA-counted flops of the actual fused train
-    #                        step (preprocess+fwd+bwd+Adam), no heuristic
-    mfu_model_fwd = (model_flops / BATCH) * model_rate / PEAK_BF16_FLOPS
-    mfu_fused_fwd = (fwd_flops / BATCH) * resident / PEAK_BF16_FLOPS
-    mfu_train = (train_flops / BATCH) * train_img_s / PEAK_BF16_FLOPS
-    ddim_p50, ddim_tp, ddim_tb = bench_diffusion_p50(cfg)
-
-    print(json.dumps({
-        # BASELINE.md target: RHD preprocessing+inference >5k img/s/chip.
-        # Primary value is the device-resident rate of the fused
-        # preprocess+forward program (what the chip sustains when fed).
-        "metric": "rhd_preproc_plus_infer_throughput",
-        "value": round(resident, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(resident / BASELINE_IMG_PER_SEC, 2),
-        "baseline_note": "ref ~26.5 img/s (input-bound, incl. disk+decode "
-                         "on its A100 node); ours is the fused on-chip "
-                         f"preprocess+forward program at b{BATCH}",
-        "e2e_host_to_infer_img_per_sec": round(e2e, 1),
-        # stage decomposition, each measured ALONE (bench_host_path):
-        # the smallest stage rate names the e2e bottleneck from
-        # measurement, not assertion
-        "host_native_decode_img_per_sec": round(decode_rate, 1),
-        "host_read_img_per_sec": round(read_rate, 1),
-        "h2d_gbytes_per_sec": round(h2d_gbs, 3),
-        "h2d_img_per_sec": round(h2d_img_s, 1),
-        "e2e_bottleneck": min(
-            (("h2d", h2d_img_s), ("host_read", read_rate),
-             ("device_compute", resident)), key=lambda kv: kv[1])[0],
-        "e2e_note": "fresh batches: memmap read + H2D + fused preprocess "
-                    "+ forward; e2e_bottleneck is the argmin of the "
-                    "measured stage rates (host_read_img_per_sec, "
-                    "h2d_img_per_sec, the device-resident rate) -- "
-                    "native decode is the cache-BUILD tier, not on the "
-                    "epoch path",
-        "train_step_img_per_sec": round(train_img_s, 1),
-        "train_note": "fused production step: raw batch -> preprocess + "
-                      f"fwd + bwd + Adam in one program, b{BATCH} bf16, "
-                      "stable (partition-invariant) BN variance -- "
-                      "bn_fast_variance=True adds ~7.6%",
-        "infer_latency_p50_ms_b1": round(b1_p50, 2),
-        "infer_latency_amortised_ms_b1": round(b1_amortised, 2),
-        "b1_network_rtt_ms": round(b1_rtt, 2),
-        "b1_note": "p50 is single-image fused preprocess+forward incl. one "
-                   "host fetch per call; b1_network_rtt_ms is the measured "
-                   "4-byte D2H round trip alone (through the axon tunnel "
-                   "it dominates the p50 -- track p50 minus rtt across "
-                   "rounds for the device); amortised chains 30 dependent "
-                   "calls with ONE final fetch, i.e. per-call "
-                   "device+dispatch time (what PCIe-local serving sees)",
-        "interhand_preproc_plus_infer_img_per_sec": round(ih_rate, 1),
-        "interhand_note": "second dataset family: fused InterHand2.6M "
-                          f"preprocess (auto pad, bbox crop) + flagship "
-                          f"forward, device-resident b{BATCH}",
-        "diffusion_ddim_p50_ms": round(ddim_p50, 2),
-        f"diffusion_ddim_throughput_b{ddim_tb}_samples_per_sec":
-            round(ddim_tp, 1),
-        "mfu_model_forward": round(mfu_model_fwd, 4),
-        "mfu_fused_forward": round(mfu_fused_fwd, 4),
-        "mfu_train": round(mfu_train, 4),
-        "mfu_note": "all XLA-cost_analysis-counted flops / (time x "
-                    "197 TFLOP/s bf16 peak): model-only forward program, "
-                    "fused preprocess+forward program (includes real "
-                    "preprocessing flops), and the actual fused "
-                    "preprocess+fwd+bwd+Adam train-step program",
-        "device": jax.devices()[0].device_kind,
-    }))
+    for name, fn, est in SECTIONS:
+        left = _remaining()
+        if left < est:
+            results["bench_sections"][name] = f"skipped_budget({left:.0f}s" \
+                                              f"<{est}s)"
+            print(f"[bench] skip {name}: {left:.0f}s left < est {est}s",
+                  file=sys.stderr, flush=True)
+            continue
+        t0 = time.monotonic()
+        try:
+            results.update(fn(ctx))
+            results["bench_sections"][name] = round(time.monotonic() - t0, 1)
+        except Exception as e:  # one failed section must not kill the run
+            results["bench_sections"][name] = f"error({type(e).__name__})"
+            print(f"[bench] section {name} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+        print(f"[bench] {name}: {results['bench_sections'][name]}",
+              file=sys.stderr, flush=True)
+        emit()   # cumulative: the LAST stdout line is the fullest record
 
 
 if __name__ == "__main__":

@@ -125,7 +125,10 @@ class Config:
     # torch-tie-routing oracle. 'pallas' keeps the same first-max
     # routing but computes the whole backward in ONE VMEM-resident pass
     # (ops/pallas_kernels.py::max_pool_3x3s2p1_bwd_pallas) -- one HBM
-    # read of x/dy and one write of dx, the traffic floor.
+    # read of x/dy and one write of dx, the traffic floor. Also measured
+    # 0.43x in context (v5e round 5: 1425 vs 3282 img/s) despite ~par
+    # isolation speed: the pallas_call fusion barrier costs more than
+    # the serial select-and-scatter it removes. Keep 'native'.
     pool_grad: str = "native"
     # accepted-unused (schema parity): the reference declares it and then
     # force-disables it per model (reference trainval.py:103); uv-loss
@@ -246,9 +249,21 @@ class Config:
     # (measured ~6% of the v5e step through the axon tunnel).  Identical
     # per-step math (per-step losses still logged/NaN-checked); only
     # preemption-check and logging LATENCY coarsens to k steps.
-    # Requires fuse_preprocess; epoch tails that don't fill a group run
-    # the single-step program.
-    steps_per_dispatch: int = 1
+    # Requires fuse_preprocess (set 1 when disabling that); epoch tails
+    # that don't fill a group run the single-step program.  Default 8
+    # from the r5 v5e sweep (b256 flagship, scoped-VMEM default on):
+    # k=1 3410 img/s (mfu .4611), k=4 3547 (.4796), k=8 3564 (.4819);
+    # without the vmem lever: k=2 +4.7%, k=4 +5.7%, k=8 +6.2% over k=1.
+    steps_per_dispatch: int = 8
+    # scoped-VMEM budget (KiB) handed to the TPU compiler for the TRAIN
+    # step programs (jax.jit compiler_options, TPU backend only; 0 =
+    # compiler default 16 MiB).  Bigger fusion scratch lets XLA form
+    # larger loop fusions for the BN/relu backward passes at the stem
+    # resolutions -- measured +4.9% train step on v5e at 65536 (r5 sweep,
+    # tools/bench_xla_options.py: 3443.9 vs 3282.9 img/s; 98304 failed
+    # to compile, 32768 gave +3.5%).  Forward/eval programs keep the
+    # compiler default (win not measured there).
+    scoped_vmem_limit_kib: int = 65536
     # decode every image once into a uint8 memmap next to the dataset;
     # later epochs stream at memory bandwidth (RHD + InterHand)
     cache_decoded: bool = False

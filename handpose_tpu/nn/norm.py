@@ -5,8 +5,15 @@ stable pass (reference backbones via torchvision BN).  Flax's default
 one-pass ``E[x^2] - E[x]^2`` is faster (one HBM read of x instead of two)
 but cancels catastrophically when ``|mean| >> std`` — measured in round 2
 as train-mode outputs that DEPEND on the device partitioning (2% loss
-drift sharded-vs-single).  The framework therefore defaults to the
-two-pass form at a measured 7.6% train-step cost on v5e.
+drift sharded-vs-single).  **The framework default is the one-pass 'fast'
+form** (config.py ``bn_variance="fast"``, +11.1% train step on v5e):
+twin-training parity vs the executed torch reference re-measured under
+'fast' sits inside the loop's own seed-chaos band (0.35% vs a 0.39%
+3-seed shadow-ensemble band, docs/TWIN_PARITY.json), i.e. the
+cancellation regime does not arise in these nets — He-initialised conv
+outputs are near zero-mean.  'stable' (two-pass, partition-invariant)
+stays one flag away for extreme activation scales or when bitwise
+partition-invariance matters; tests/test_norm.py pins both regimes.
 
 ``ShiftedBatchNorm`` is the third point on that trade-off: a one-pass
 variance CENTRED ON THE RUNNING MEAN,
@@ -121,10 +128,12 @@ class ShiftedBatchNorm(nn.Module):
 def make_norm(bn_variance: str, train: bool, dtype):
     """The norm-layer factory shared by every backbone/head.
 
+    'fast'    -> flax BatchNorm, one-pass E[x^2]-E[x]^2 (the default;
+                 +11.1% train step on v5e, partition-DEPENDENT when
+                 |mean| >> std -- a regime these nets don't enter,
+                 see module docstring)
     'stable'  -> flax BatchNorm, two-pass variance (torch semantics,
-                 partition-invariant; the default)
-    'fast'    -> flax BatchNorm, one-pass E[x^2]-E[x]^2 (7.6% faster
-                 train step, partition-DEPENDENT when |mean| >> std)
+                 partition-invariant)
     'shifted' -> ShiftedBatchNorm (one-pass speed, running-mean shift
                  keeps the cancellation benign)
     """

@@ -220,10 +220,12 @@ def _pool_bwd_chunk(R0, R1, dyp, s, e, Ho, Wo, C, neg):
         if dj == 0:  # orig col 2oj-1 = odd col (oj-1), "-inf" at oj=0
             v = jnp.roll(O, 1, axis=1)
             keep = (col0(v) != 0).astype(jnp.float32)
-            # arithmetic blend (no i1 select): finite f32-min stands in
-            # for -inf -- it loses every max to the always-real center
-            # element, and 0 * (-3.4e38) stays finite
-            return v * keep + jnp.float32(-3.4e38) * (1.0 - keep)
+            # arithmetic blend (no i1 select): finite f32 lowest stands
+            # in for -inf -- it loses every max to the always-real
+            # center element, and 0 * finfo.min stays finite (an actual
+            # -inf here would make 0 * (-inf) = NaN and silently drop
+            # window (0,0)'s gradient)
+            return v * keep + jnp.finfo(jnp.float32).min * (1.0 - keep)
         return E if dj == 1 else O
 
     # pass 1: 9-way first-max index (strict > keeps the FIRST maximal
@@ -276,8 +278,11 @@ def _pool_bwd_kernel(x_ref, dy_ref, out_ref, *, H, W, C, n_chunks):
     dyp = dy_ref[0]                            # (Ho, Wo, C) unpacked
     # finite stand-in for -inf: every pad loses the max to the
     # always-real center element, and it survives the arithmetic
-    # blends (0 * -inf would NaN) -- representable in bf16 and f32
-    neg = jnp.asarray(-3.4e38, x3.dtype)
+    # blends (0 * -inf would NaN).  finfo(dtype).min is the largest
+    # finite magnitude the dtype can hold -- a hardcoded -3.4e38 is NOT
+    # representable in bf16 (max finite ~3.3895e38) and would round to
+    # -inf, NaN-poisoning window (0,0)'s routing under bf16 compute
+    neg = jnp.asarray(jnp.finfo(x3.dtype).min, x3.dtype)
     ch = Ho // n_chunks
     for h in range(n_chunks):
         s, e = h * ch, (h + 1) * ch if h < n_chunks - 1 else Ho

@@ -33,6 +33,16 @@ the nine interior-padded placements defeat fusion into a single pass on
 this XLA version. The default stays 'native'; 'argmax' is kept as a
 measured alternative should select-and-scatter regress on a future
 compiler.
+
+The Pallas VMEM kernel ('pallas', ops/pallas_kernels.py) is the second
+measured negative (v5e round 5, same A/B): 1425.4 img/s vs native
+3282.3 (0.43x) IN CONTEXT, despite being ~par with native in isolation
+at the stem shape (1.89 vs 1.72 ms at b32 bf16).  The pallas_call is a
+fusion barrier: x and dy must materialise to HBM as standalone arrays
+instead of fusing the scatter into the surrounding backward fusions,
+which costs far more than the serial select-and-scatter it removes.
+Both alternatives stay as tested, documented oracles; 'native' is the
+measured default.
 """
 
 from __future__ import annotations
@@ -141,6 +151,21 @@ def _pallas_bwd(interpret, x, g):
 max_pool_pallas_grad.defvjp(_pallas_fwd, _pallas_bwd)
 
 
+def pallas_pool_envelope_ok(shape) -> bool:
+    """Shapes the Mosaic-compiled pool backward is validated for.
+
+    H even / W % 4 == 0 are hard layout requirements of the parity
+    repack; C >= 64 excludes the known Mosaic corner at tiny channel
+    counts (an i1 relayout failure at C=8, NOTES_r4.md) -- production
+    stems are C=64.  Interpret mode (off-TPU) has no such corner and
+    is gated only by the hard asserts in the kernel wrapper.
+    """
+    if len(shape) != 4:
+        return False
+    _, H, W, C = shape
+    return H % 2 == 0 and W % 4 == 0 and C >= 64
+
+
 def stem_max_pool(x, impl: str = "native"):
     """The ResNet-stem 3x3/s2/p1 max pool with a selectable gradient.
 
@@ -151,13 +176,28 @@ def stem_max_pool(x, impl: str = "native"):
     three; eval/serving is unaffected by the choice. Caveat: 'argmax'
     and 'pallas' are reverse-mode only (jax.custom_vjp blocks
     jvp/jacfwd); use 'native' for any forward-mode autodiff tooling.
+
+    On TPU, 'pallas' silently (one warning per process) falls back to
+    'native' for shapes outside the kernel's validated envelope
+    (:func:`pallas_pool_envelope_ok`) instead of risking a Mosaic
+    compile error deep inside a train step.
     """
     if impl == "argmax":
         return max_pool_argmax_grad(x, STEM_POOL["window_shape"],
                                     STEM_POOL["strides"],
                                     STEM_POOL["padding"])
     if impl == "pallas":
-        return max_pool_pallas_grad(x, jax.default_backend() != "tpu")
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and not pallas_pool_envelope_ok(x.shape):
+            import warnings
+            warnings.warn(
+                f"pool_grad='pallas': shape {tuple(x.shape)} is outside "
+                "the validated Mosaic envelope (H even, W % 4 == 0, "
+                "C >= 64); falling back to the native select-and-scatter "
+                "gradient for this call", stacklevel=2)
+            impl = "native"
+        else:
+            return max_pool_pallas_grad(x, not on_tpu)
     if impl == "native":
         return nn.max_pool(x, STEM_POOL["window_shape"],
                            strides=STEM_POOL["strides"],

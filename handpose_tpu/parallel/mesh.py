@@ -57,14 +57,23 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def shard_batch_stacked(stack, mesh: Mesh):
-    """Shard a ``(k, B, ...)``-stacked group of batches over 'data'.
+    """Shard a ``(k, B, ...)``-stacked group of HOST batches over 'data'.
 
     The multi-step-dispatch layout (``Config.steps_per_dispatch``): the
     leading axis is the scan (step) axis and stays replicated; axis 1 is
     each step's batch, sharded exactly like :func:`shard_batch` does for
     a single batch, so every scanned step runs the same SPMD program as
-    the single-step path.
+    the single-step path.  Like :func:`shard_batch`, multi-host callers
+    pass the stack of their LOCAL batch shards and get global arrays.
     """
+    if jax.process_count() > 1:
+        def put_global(a):
+            a = np.asarray(a)
+            sh = NamedSharding(mesh, P(None, "data",
+                                       *([None] * (a.ndim - 2))))
+            return jax.make_array_from_process_local_data(sh, a)
+        return jax.tree.map(put_global, stack)
+
     def put(a):
         spec = P(None, "data", *([None] * (a.ndim - 2)))
         return jax.device_put(a, NamedSharding(mesh, spec))

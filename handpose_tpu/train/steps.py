@@ -14,7 +14,7 @@ or across a slice.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Dict
 
 import jax
@@ -27,6 +27,18 @@ from ..metrics import masked_sum_count, mpjpe, pck_sum_count
 from .state import TrainState
 
 _TRAINER_B = ("Hand3DPoseNet", "Hand3DPosePriorNetwork")
+
+
+def _train_jit(fn, cfg: Config):
+    """jit for the train-step family: donated state + the measured
+    scoped-VMEM compiler budget (``cfg.scoped_vmem_limit_kib``, +4.9%
+    on v5e -- see config.py).  TPU only: other backends reject the
+    TPU-specific option.  Forward/eval programs use plain jit."""
+    opts = None
+    if cfg.scoped_vmem_limit_kib and jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib":
+                str(int(cfg.scoped_vmem_limit_kib))}
+    return jax.jit(fn, donate_argnums=(0,), compiler_options=opts)
 
 
 def _forward(model_apply, params, batch_stats, batch, cfg: Config,
@@ -177,7 +189,6 @@ def make_train_step(model, cfg: Config):
 
     # donate the state: params/opt buffers are updated in place on device,
     # halving peak HBM for the update step
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         grads, new_bs, losses = _accum_grads(grad_one, state, batch, rng,
                                              cfg.grad_accum)
@@ -185,7 +196,7 @@ def make_train_step(model, cfg: Config):
         state = state.replace(batch_stats=new_bs)
         return state, losses
 
-    return train_step
+    return _train_jit(train_step, cfg)
 
 
 def _eval_metrics(out, batch, cfg: Config, pck_thresholds=None):
@@ -314,7 +325,6 @@ def make_fused_multi_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
     grad_one = _make_fused_grad_one(model, cfg, preprocess_fn, pp_kwargs,
                                     aug_flags)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def multi_step(state: TrainState, raw_stack, rng):
         rngs = jax.random.split(rng, k)
 
@@ -329,7 +339,7 @@ def make_fused_multi_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
         state, losses_k = jax.lax.scan(body, state, (raw_stack, rngs))
         return state, losses_k
 
-    return multi_step
+    return _train_jit(multi_step, cfg)
 
 
 def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
@@ -346,7 +356,6 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
     grad_one = _make_fused_grad_one(model, cfg, preprocess_fn, pp_kwargs,
                                     aug_flags)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, raw, rng):
         grads, new_bs, losses = _accum_grads(grad_one, state, raw, rng,
                                              cfg.grad_accum)
@@ -354,7 +363,7 @@ def make_fused_train_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,
         state = state.replace(batch_stats=new_bs)
         return state, losses
 
-    return train_step
+    return _train_jit(train_step, cfg)
 
 
 def make_fused_eval_step(model, cfg: Config, preprocess_fn, pp_kwargs: dict,

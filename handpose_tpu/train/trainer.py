@@ -136,9 +136,15 @@ class Worker:
                 self.multi_step = make_fused_multi_step(
                     self.model, cfg, pp_fn, pp_kwargs, aug)
         if cfg.steps_per_dispatch > 1 and not self.fused:
-            raise ValueError("steps_per_dispatch > 1 requires "
-                             "fuse_preprocess=True (the multi-step scan "
-                             "consumes raw device batches)")
+            if not cfg.fuse_preprocess:
+                raise ValueError(
+                    "steps_per_dispatch > 1 (the default is 8) requires "
+                    "fuse_preprocess=True -- the multi-step scan consumes "
+                    "raw device batches; pass --set steps_per_dispatch=1 "
+                    "alongside fuse_preprocess=False")
+            # fused is off because the dataset path is fake/synthetic
+            # (no raw batches to stack): dispatch grouping silently
+            # degrades to single-step (multi_step stays None)
 
         # init state from one sample batch
         rng = jax.random.PRNGKey(cfg.seed)
@@ -376,10 +382,16 @@ class Worker:
 
     def _run_group(self, group, epoch, losses_acc):
         """Dispatch a full steps_per_dispatch group as ONE program and
-        book each scanned step's metrics (stacked on axis 0)."""
+        book each scanned step's metrics (stacked on axis 0).
+
+        Group batches arrive as HOST arrays: one ``np.stack`` + ONE
+        sharded device_put per group (stacking already-sharded device
+        batches would add an on-device stack computation plus a reshard
+        per group, spending part of the dispatch-overhead saving
+        ``steps_per_dispatch`` exists to recover)."""
         idx0, batches = group[0][0], [b for _, b in group]
         stacked = shard_batch_stacked(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *batches), self.mesh)
+            jax.tree.map(lambda *xs: np.stack(xs), *batches), self.mesh)
         self.rng, step_rng = jax.random.split(self.rng)
         self.stats.step.tic()
         self.state, metrics_k = self.multi_step(self.state, stacked,
@@ -415,14 +427,15 @@ class Worker:
                     f"{epoch} iter {idx}")
                 group = []
                 break
-            batch = shard_batch(batch, self.mesh)
             if group_k > 1:
+                # keep the HOST batch; _run_group stacks + shards once
                 group.append((idx, batch))
                 if len(group) == group_k:
                     n += self._run_group(group, epoch, losses_acc)
                     group = []
                 self.stats.input.tic()
                 continue
+            batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.stats.step.tic()
             if is_train:
@@ -445,6 +458,7 @@ class Worker:
         self.stats.input.toc()
         # epoch tail that didn't fill a group: run single-step fused
         for idx, batch in group:
+            batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.stats.step.tic()
             self.state, metrics = self.train_step(self.state, batch,

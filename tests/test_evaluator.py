@@ -73,6 +73,69 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(uv, ref.uv, atol=1e-3)
 
 
+def test_export_fused_pipeline_roundtrip():
+    """The fused serving program (raw -> preprocess + forward) exports
+    to StableHLO and replays identically to the in-framework path."""
+    import jax
+    import jax.numpy as jnp
+
+    from handpose_tpu.data.preprocess import (RawBatch, model_input,
+                                              preprocess_batch)
+    from handpose_tpu.infer.export import (export_fused_pipeline,
+                                           load_exported_pipeline)
+    from handpose_tpu.models import build_model
+
+    cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
+                 input_img_shape=(64, 64), resnet_out_feature_dim=128)
+    model = build_model(cfg, is_inference=True)
+    B, S = 2, 80
+    rng = np.random.default_rng(0)
+    K = np.tile(np.asarray([[80., 0, 40], [0, 80., 40], [0, 0, 1]],
+                           np.float32), (B, 1, 1))
+    xyz = (rng.normal(size=(B, 42, 3)) * 0.05 +
+           np.asarray([0, 0, 0.6])).astype(np.float32)
+    uvw = np.einsum("bij,bkj->bki", K, xyz)
+    raw = RawBatch(
+        image=rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+        mask=rng.integers(0, 34, (B, S, S), dtype=np.uint8),
+        keypoint_uv=(uvw[..., :2] / uvw[..., 2:3]).astype(np.float32),
+        keypoint_vis=(rng.uniform(size=(B, 42)) > 0.3).astype(np.float32),
+        keypoint_xyz=xyz, camera_K=K)
+
+    sample = preprocess_batch(jax.device_put(raw), crop_size=cfg.crop_size,
+                              sigma=cfg.sigma,
+                              switch_joint_order=cfg.joint_order_switched)
+    inp = model_input(sample, cfg.input_channels)
+    var = model.init({"params": jax.random.PRNGKey(0)}, inp,
+                     sample["camera_intrinsic_matrix"],
+                     sample["keypoint_scale"],
+                     sample["keypoint_xyz_root"])
+    blob = export_fused_pipeline(cfg, var, B, image_size=(S, S))
+    fn = load_exported_pipeline(blob)
+    xyz_e, uv_e = fn(raw.image, raw.mask, raw.keypoint_uv,
+                     raw.keypoint_vis, raw.keypoint_xyz, raw.camera_K)
+
+    # reference = the SAME fused program jitted in-framework (the
+    # export contract is program replay; eager preprocessing can land
+    # a crop int-cast one ulp differently, which is not what this pins)
+    @jax.jit
+    def direct(raw):
+        s = preprocess_batch(raw, crop_size=cfg.crop_size, sigma=cfg.sigma,
+                             switch_joint_order=cfg.joint_order_switched)
+        i = model_input(s, cfg.input_channels)
+        out = model.apply(var, i, s["camera_intrinsic_matrix"],
+                          s["keypoint_scale"], s["keypoint_xyz_root"],
+                          train=False,
+                          rngs={"diffusion": jax.random.PRNGKey(cfg.seed)})
+        return out.xyz, out.uv
+
+    ref_xyz, ref_uv = direct(jax.device_put(raw))
+    np.testing.assert_allclose(np.asarray(xyz_e), np.asarray(ref_xyz),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(uv_e), np.asarray(ref_uv),
+                               rtol=1e-5, atol=1e-2)
+
+
 def test_evaluate_full_pck(tmp_path):
     cfg = Config(model_name="OnlyThreeDimHandPose", input_channels=3,
                  dataset_name="synthetic", infer_batch_size=8,

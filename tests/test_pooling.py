@@ -37,13 +37,26 @@ def _assert_same_routing(want, got, tol=1e-6):
     its contributions in implementation-defined order, so any two correct
     implementations (torch, XLA select-and-scatter, ours) agree only to
     fp-addition reassociation -- but which elements receive ANY gradient
-    is order-independent and must match exactly.
+    is order-independent and must match exactly, with ONE carve-out: in
+    bf16, torch/XLA accumulate the scattered contributions in bf16,
+    where several contributions can cancel/round to EXACTLY 0.0, while
+    the pallas kernel sums them in f32 and rounds once (strictly more
+    accurate).  Verified on such a case that the per-window first-max
+    routing is still identical (brute-force argmax agreed with the
+    kernel at every position; the reference's bf16 accumulator was the
+    only difference).  So under a loose ``tol`` (bf16), support may
+    differ only where BOTH sides are at cancellation scale (<= atol).
     """
     want = np.asarray(want, np.float32)
     got = np.asarray(got, np.float32)
-    np.testing.assert_array_equal(want != 0.0, got != 0.0)
-    np.testing.assert_allclose(got, want, rtol=tol,
-                               atol=tol * max(1.0, np.abs(want).max()))
+    atol = tol * max(1.0, np.abs(want).max())
+    support_mismatch = (want != 0.0) != (got != 0.0)
+    small = (np.abs(want) <= atol) & (np.abs(got) <= atol)
+    bad = support_mismatch & ~small
+    assert not bad.any(), (
+        f"{bad.sum()} routing mismatches beyond accumulation scale at "
+        f"{np.argwhere(bad)[:5]}")
+    np.testing.assert_allclose(got, want, rtol=tol, atol=atol)
 
 
 def _cases(dtype):
@@ -175,6 +188,69 @@ def test_pallas_gradient_matches_torch_maxpool():
     _, vjp = jax.vjp(_pool_pallas, jnp.asarray(x))
     got = np.asarray(vjp(jnp.asarray(g))[0])
     _assert_same_routing(want, got)
+
+
+def test_pallas_bf16_gradient_mass_conserved_eager():
+    """Every dy element is placed exactly once -- EAGERLY, in bf16.
+
+    Pins the sentinel fix: a pad value of -3.4e38 rounds to -inf in
+    bf16, and 0 * (-inf) = NaN then silently drops window (0,0)'s
+    gradient.  Under jit XLA's constant simplification can hide the
+    NaN, so this check deliberately runs the raw kernel eagerly
+    (interpret mode) where no such folding applies.
+    """
+    from handpose_tpu.ops.pallas_kernels import max_pool_3x3s2p1_bwd_pallas
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32),
+                    jnp.bfloat16)
+    dy = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32),
+                     jnp.bfloat16)
+    with jax.disable_jit():
+        dx = max_pool_3x3s2p1_bwd_pallas(x, dy, interpret=True)
+    dx32 = np.asarray(dx, np.float32)
+    assert np.isfinite(dx32).all()
+    # routing == native select-and-scatter, eager as well
+    _, vjp = jax.vjp(_pool_ref, x)
+    want = np.asarray(vjp(dy)[0], np.float32)
+    _assert_same_routing(want, dx32, tol=1e-2)
+    # total mass: each dy lands exactly once.  dx is rounded to bf16
+    # per element after f32 accumulation of multi-window terms, so the
+    # sums agree only to ~1% -- but the pre-fix NaN blend dropped an
+    # entire window's placements (~6% of mass, ADVICE r4), far outside
+    np.testing.assert_allclose(dx32.sum(), np.asarray(dy, np.float32).sum(),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_off_envelope_falls_back_to_native(monkeypatch):
+    """On TPU, an off-envelope shape (here C=8 -- the known Mosaic i1
+    relayout corner) under pool_grad='pallas' must produce the native
+    gradient via fallback, not a Mosaic compile error."""
+    import handpose_tpu.ops.pooling as pooling
+
+    monkeypatch.setattr(pooling.jax, "default_backend", lambda: "tpu")
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        size=(2, 16, 16, 8)).astype(np.float32))
+    dy = jnp.asarray(np.random.default_rng(8).normal(
+        size=(2, 8, 8, 8)).astype(np.float32))
+    with pytest.warns(UserWarning, match="outside the validated"):
+        y, vjp = jax.vjp(lambda v: pooling.stem_max_pool(v, "pallas"), x)
+    got = vjp(dy)[0]
+    _, vjp_ref = jax.vjp(_pool_ref, x)
+    want = vjp_ref(dy)[0]
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.asarray(_pool_ref(x)))
+    _assert_same_routing(want, got)
+
+
+def test_pallas_envelope_predicate():
+    from handpose_tpu.ops.pooling import pallas_pool_envelope_ok
+
+    assert pallas_pool_envelope_ok((32, 128, 128, 64))
+    assert not pallas_pool_envelope_ok((2, 16, 16, 8))     # C too small
+    assert not pallas_pool_envelope_ok((2, 15, 16, 64))    # H odd
+    assert not pallas_pool_envelope_ok((2, 16, 18, 64))    # W % 4 != 0
+    assert not pallas_pool_envelope_ok((16, 16, 64))       # not NHWC
 
 
 def test_pallas_stem_shape_uneven_chunking():

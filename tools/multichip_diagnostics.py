@@ -36,9 +36,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# (n_devices, tp): dp-only ladder + the dp x tp layouts
-LAYOUTS = [(1, 1), (2, 1), (4, 1), (8, 1), (4, 2), (8, 2)]
-N_NEEDED = max(n for n, _ in LAYOUTS)
+# dp-only ladder + dp x tp layouts + the train-path program variants the
+# Worker can actually ship (k-step dispatch groups change the scanned
+# program structure under the mesh; grad-accum scans microbatches)
+LAYOUTS = [
+    dict(n=1, tp=1), dict(n=2, tp=1), dict(n=4, tp=1), dict(n=8, tp=1),
+    dict(n=4, tp=2), dict(n=8, tp=2),
+    dict(n=8, tp=1, k=2), dict(n=8, tp=2, k=2), dict(n=8, tp=1, accum=2),
+]
+N_NEEDED = max(l["n"] for l in LAYOUTS)
 
 _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                 "collective-permute", "all-to-all")
@@ -55,7 +61,7 @@ def collective_census(hlo_text: str) -> dict:
 
 
 def run_layout(n_devices: int, tp: int, per_device_batch: int,
-               steps: int) -> dict:
+               steps: int, k: int = 1, accum: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,17 +71,20 @@ def run_layout(n_devices: int, tp: int, per_device_batch: int,
                                               preprocess_batch)
     from handpose_tpu.models import build_model
     from handpose_tpu.parallel import shard_batch
+    from handpose_tpu.parallel.mesh import shard_batch_stacked
     from handpose_tpu.parallel.sharding import (make_dp_tp_mesh,
                                                 shard_train_state)
     from handpose_tpu.train.state import create_train_state
-    from handpose_tpu.train.steps import make_fused_train_step
+    from handpose_tpu.train.steps import (make_fused_multi_step,
+                                          make_fused_train_step)
 
     mesh = make_dp_tp_mesh(n_devices, tp=tp)
     dp = mesh.shape["data"]
     B, S = per_device_batch * dp, 80
     cfg = Config(model_name="Hand3DPosePriorNetwork", input_channels=21,
                  input_img_shape=(64, 64), batch_size=B,
-                 compute_dtype="float32", max_epoch=2)
+                 compute_dtype="float32", max_epoch=2,
+                 steps_per_dispatch=k, grad_accum=accum)
     model = build_model(cfg)
 
     rng = np.random.default_rng(0)
@@ -104,8 +113,17 @@ def run_layout(n_devices: int, tp: int, per_device_batch: int,
     # step's output state -- XLA may pick different output shardings
     shards = [v.sharding.spec for v in jax.tree.leaves(state.params)]
     n_tp_sharded = sum(1 for s in shards if any(a == "model" for a in s))
-    sharded_raw = shard_batch(raw, mesh)
-    step = make_fused_train_step(model, cfg, preprocess_batch, pp_kwargs)
+    if k > 1:
+        # k-step dispatch group: scan axis leads, replicated; axis 1 is
+        # each step's batch, sharded like the single-step path
+        step = make_fused_multi_step(model, cfg, preprocess_batch,
+                                     pp_kwargs, k=k)
+        sharded_raw = shard_batch_stacked(
+            jax.tree.map(lambda a: np.stack([a] * k), raw), mesh)
+    else:
+        step = make_fused_train_step(model, cfg, preprocess_batch,
+                                     pp_kwargs)
+        sharded_raw = shard_batch(raw, mesh)
 
     hlo = step.lower(state, sharded_raw,
                      jax.random.PRNGKey(1)).compile().as_text()
@@ -119,11 +137,15 @@ def run_layout(n_devices: int, tp: int, per_device_batch: int,
         state, m = step(state, sharded_raw, jax.random.PRNGKey(2 + i))
         jax.block_until_ready(m["loss"])
         times.append(time.perf_counter() - t0)
+    loss = m["loss"]
+    if k > 1:
+        loss = loss[-1]          # per-step losses stacked on axis 0
     return {
         "n_devices": n_devices, "dp": dp, "tp": tp,
+        "steps_per_dispatch": k, "grad_accum": accum,
         "global_batch": B, "per_device_batch": per_device_batch,
-        "step_ms_median": round(statistics.median(times) * 1e3, 1),
-        "loss_finite": bool(jnp.isfinite(m["loss"])),
+        "step_ms_median": round(statistics.median(times) / k * 1e3, 1),
+        "loss_finite": bool(jnp.isfinite(loss)),
         "collectives": census,
         "params_tp_sharded": n_tp_sharded,
         "params_total": len(shards),
@@ -133,8 +155,9 @@ def run_layout(n_devices: int, tp: int, per_device_batch: int,
 def main_body(per_device_batch: int, steps: int, out: str | None) -> None:
     import jax
 
-    rows = [run_layout(n, tp, per_device_batch, steps)
-            for n, tp in LAYOUTS]
+    rows = [run_layout(l["n"], l["tp"], per_device_batch, steps,
+                       k=l.get("k", 1), accum=l.get("accum", 1))
+            for l in LAYOUTS]
     dp_only = [r for r in rows if r["tp"] == 1]
     # invariants the docstrings claim -- checked, not just printed
     for r in dp_only:
