@@ -32,6 +32,10 @@ def main():
                     help="demo with a fresh init instead of a trained run")
     ap.add_argument("--out", default="/tmp/handpose_forward.stablehlo")
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--fused", action="store_true",
+                    help="export the fused raw->preprocess->forward "
+                         "pipeline (RHD-format raw inputs) instead of "
+                         "the model forward alone")
     args = ap.parse_args()
 
     import jax
@@ -92,6 +96,35 @@ def main():
             ap.error(f"no model_best/checkpoint dir under {args.from_run}")
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+
+    if args.fused:
+        # whole-pipeline artifact: raw uint8 sample in, joints out --
+        # the exact program the throughput/b1 benches measure
+        from handpose_tpu.data.rhd import RHDDataset, write_synthetic_rhd
+        from handpose_tpu.infer.export import (export_fused_pipeline,
+                                               load_exported_pipeline)
+
+        root = "/tmp/hpt_serving_demo_rhd"
+        if not os.path.exists(os.path.join(
+                root, "evaluation", "anno_evaluation.pickle")):
+            write_synthetic_rhd(root, "evaluation",
+                                max(8, args.batch_size))
+        ds = RHDDataset(root, "evaluation")
+        raw = ds.raw_batch(list(range(args.batch_size)))
+        S = raw.image.shape[1:3]
+        blob = export_fused_pipeline(cfg, variables, args.batch_size,
+                                     image_size=S)
+        save_exported(args.out, blob)
+        print(f"exported fused pipeline {len(blob) / 1e6:.1f} MB -> "
+              f"{args.out}")
+        with open(args.out, "rb") as f:
+            fn = load_exported_pipeline(f.read())
+        xyz, uv = fn(raw.image, raw.mask, raw.keypoint_uv,
+                     np.asarray(raw.keypoint_vis, np.float32),
+                     raw.keypoint_xyz, raw.camera_K)
+        print("xyz", xyz.shape, "uv", uv.shape,
+              "| first joint:", np.asarray(xyz)[0, 0])
+        return
 
     # 1 -> 2: export (weights closed over; deterministic rngs)
     blob = export_forward(cfg, variables, args.batch_size)

@@ -220,8 +220,9 @@ class InterHandDataset:
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
         if self._color_mm is not None:
+            from .rhd import _memmap_take
             decoded = None
-            imgs = np.asarray(self._color_mm[np.asarray(indices)])
+            imgs = _memmap_take(self._color_mm, np.asarray(indices))
         else:
             decoded = list(self._pool.map(load, indices))
         if decoded is None:

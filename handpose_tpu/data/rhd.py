@@ -57,6 +57,19 @@ class RHDDataset:
                                  f"anno_{set_type}.pickle")
         with open(anno_path, "rb") as f:
             self.annotations = pickle.load(f)
+        # contiguous anno arrays: batch collation becomes three
+        # vectorized gathers instead of 3*B python dict lookups + stack
+        # (uv_vis packs uv[:, :2] and the vis flag in one (N,42,3) array)
+        n = len(self.annotations)
+        self._uv_vis = np.stack([
+            np.asarray(self.annotations[i]["uv_vis"], np.float32)
+            for i in range(n)]) if n else np.zeros((0, 42, 3), np.float32)
+        self._xyz = np.stack([
+            np.asarray(self.annotations[i]["xyz"], np.float32)
+            for i in range(n)]) if n else np.zeros((0, 42, 3), np.float32)
+        self._K = np.stack([
+            np.asarray(self.annotations[i]["K"], np.float32)
+            for i in range(n)]) if n else np.zeros((0, 3, 3), np.float32)
         self._pool = ThreadPoolExecutor(num_decode_threads)
         self._color_mm = self._mask_mm = None
         if cache_decoded:
@@ -128,20 +141,17 @@ class RHDDataset:
         """Decode + collate a batch of raw samples (threaded)."""
         if self._color_mm is not None:
             idx = np.asarray(indices)
-            imgs = np.asarray(self._color_mm[idx])
-            masks = np.asarray(self._mask_mm[idx])
+            imgs = _memmap_take(self._color_mm, idx)
+            masks = _memmap_take(self._mask_mm, idx)
         else:
             imgs, masks = self._decode_indices(indices)
-        uv = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, :2],
-                                  np.float32) for i in indices])
-        vis = np.stack([np.asarray(self.annotations[i]["uv_vis"][:, 2] == 1)
-                        for i in indices])
-        xyz = np.stack([np.asarray(self.annotations[i]["xyz"], np.float32)
-                        for i in indices])
-        K = np.stack([np.asarray(self.annotations[i]["K"], np.float32)
-                      for i in indices])
-        return RawBatch(image=imgs, mask=masks, keypoint_uv=uv,
-                        keypoint_vis=vis, keypoint_xyz=xyz, camera_K=K)
+        idx = np.asarray(indices)
+        uv_vis = self._uv_vis[idx]
+        return RawBatch(image=imgs, mask=masks,
+                        keypoint_uv=np.ascontiguousarray(uv_vis[:, :, :2]),
+                        keypoint_vis=uv_vis[:, :, 2] == 1,
+                        keypoint_xyz=self._xyz[idx],
+                        camera_K=self._K[idx])
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_remainder: bool = True
@@ -151,6 +161,28 @@ class RHDDataset:
         for idx in epoch_index_chunks(len(self), batch_size, shuffle, seed,
                                       drop_remainder):
             yield self.raw_batch(idx)
+
+
+def _memmap_take(mm, idx: np.ndarray) -> np.ndarray:
+    """Batch gather from a sample-major memmap.
+
+    numpy fancy indexing on a memmap runs an element-generic gather;
+    index sets made of few +1-contiguous runs (sequential epochs, the
+    bench's shifted windows, epoch wraparound, shuffle-free validation)
+    read each run as a SLICE through the bulk memcpy path instead.
+    Mostly-scattered sets (shuffled epochs) keep the generic gather --
+    per-element slices would be slower than one fancy index.
+    """
+    if idx.size == 0:
+        return np.asarray(mm[idx])
+    starts = np.flatnonzero(np.r_[True, np.diff(idx) != 1])
+    if starts.size > max(4, idx.size // 8):
+        return np.asarray(mm[idx])          # mostly scattered: gather
+    out = np.empty((idx.size,) + mm.shape[1:], mm.dtype)
+    bounds = np.r_[starts, idx.size]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out[a:b] = mm[idx[a]:idx[a] + (b - a)]
+    return out
 
 
 def write_synthetic_rhd(root_dir: str, set_type: str = "evaluation",

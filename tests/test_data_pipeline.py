@@ -111,6 +111,30 @@ def test_decoded_cache_roundtrip(mini_rhd):
     np.testing.assert_array_equal(a.image, c.image)
 
 
+def test_memmap_take_index_patterns(mini_rhd):
+    """_memmap_take (the contiguous-run fast path in the memmap collate)
+    == plain fancy indexing for every index pattern the loaders emit:
+    contiguous, wrapped (two ascending runs), strided-ascending,
+    shuffled, repeated, empty."""
+    from handpose_tpu.data.rhd import _memmap_take
+
+    ds = RHDDataset(mini_rhd, "evaluation", cache_decoded=True)
+    mm = ds._color_mm
+    n = mm.shape[0]
+    patterns = [
+        np.arange(n),                          # full contiguous
+        np.arange(3, 7),                       # inner run
+        np.r_[np.arange(5, n), np.arange(3)],  # epoch wraparound
+        np.array([0, 2, 4, 6]),                # strided ascending
+        np.array([4, 1, 6, 0, 3]),             # shuffled
+        np.array([2, 2, 5, 5]),                # repeats
+        np.array([], dtype=np.int64),          # empty
+    ]
+    for idx in patterns:
+        np.testing.assert_array_equal(
+            _memmap_take(mm, idx), np.asarray(mm[idx]), err_msg=str(idx))
+
+
 def test_prefetch_early_abandon_stops_producer():
     import threading
     import time

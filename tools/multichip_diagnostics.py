@@ -51,11 +51,18 @@ _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
 
 
 def collective_census(hlo_text: str) -> dict:
-    """Count collective HLOs (sync + async -start forms) in compiled HLO."""
+    """Count collective HLOs (sync + async -start forms) in compiled HLO.
+
+    The opcode follows the result type in an instruction line; the type
+    may be a TUPLE containing spaces when XLA's combiner merges several
+    collectives into one multi-operand op ('= (f32[..], f32[..])
+    all-reduce('), so the type is matched as anything without '='.
+    Metadata op_name strings use underscores (psum/all_gather), so the
+    hyphenated HLO opcodes don't false-positive there.
+    """
     census = {}
     for kind in _COLLECTIVES:
-        # '%all-reduce.3 = ... all-reduce(' and async 'all-reduce-start('
-        n = len(re.findall(rf"= \S+ {kind}(?:-start)?\(", hlo_text))
+        n = len(re.findall(rf"= [^=\n]* {kind}(?:-start)?\(", hlo_text))
         census[kind] = n
     return census
 
