@@ -13,9 +13,13 @@ captured numbers.  Three defenses now:
   * a wall-clock budget (HPT_BENCH_BUDGET_S, default 1500 s): a section
     whose estimated cost exceeds the remaining budget is recorded as
     "skipped_budget" instead of blowing the driver's window;
-  * every XLA program is AOT-compiled exactly once (jit .lower()
-    .compile()) and the SAME executable serves both the timing loop and
-    the XLA cost_analysis -- the old path compiled most programs twice.
+  * every XLA program compiles through the jit DISPATCH path under a
+    persistent compilation cache (HPT_BENCH_CACHE, default
+    /tmp/hpt_xla_cache -- verified to work through the axon remote
+    backend): a warm machine pays tracing only, zero backend compiles.
+    cost_analysis flops (which would force uncached AOT compiles) are
+    memoised in a sidecar JSON keyed by the lowered StableHLO hash, so
+    they too are computed at most once per program per machine.
 
 Primary metric: RHD preprocessing+inference throughput -- the fused
 device preprocess (crop, transforms, scoremaps) + flagship-model forward
@@ -88,23 +92,53 @@ def _sync(x) -> float:
     return float(np.asarray(jnp.sum(x)))
 
 
-def _aot(jitted, *args):
-    """Compile a jitted fn ONCE (AOT) and return (compiled, flops).
+_CACHE_DIR = os.environ.get("HPT_BENCH_CACHE", "/tmp/hpt_xla_cache")
 
-    The same executable serves the timing loop and the flops count --
-    calling the jit wrapper after ``.lower().compile()`` would compile
-    the program a second time through the separate jit cache.
+
+def _flops_cached(jitted, *args) -> float:
+    """XLA-counted flops of a jitted program, cached across runs.
+
+    Timing everywhere uses the jit DISPATCH path because only that path
+    consults the persistent compilation cache (measured: an AOT
+    ``.lower().compile()`` re-pays the full backend compile in every
+    process -- 217 s for the DDIM scan -- while a warm dispatch compile
+    is seconds).  cost_analysis, however, needs an AOT-compiled object,
+    so its result is memoised in a sidecar JSON keyed by the SHA of the
+    lowered StableHLO: a changed program recomputes, a warm machine
+    pays zero extra compiles.
     """
-    compiled = jitted.lower(*args).compile()
+    import hashlib
+
+    lowered = jitted.lower(*args)
+    key = hashlib.sha256(lowered.as_text().encode()).hexdigest()[:32]
+    path = os.path.join(_CACHE_DIR, "flops_cache.json") \
+        if _CACHE_DIR else None
+    db = {}
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                db = json.load(f)
+        except Exception:
+            db = {}
+    if key in db:
+        return float(db[key])
     flops = 0.0
     try:
-        cost = compiled.cost_analysis()
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
     except Exception:
-        pass
-    return compiled, flops
+        return 0.0
+    if path:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            db[key] = flops
+            with open(path, "w") as f:
+                json.dump(db, f)
+        except Exception:
+            pass
+    return flops
 
 
 def _bench_dataset():
@@ -139,7 +173,8 @@ def make_fused_infer_pipe(cfg, model, variables):
 
 
 def _rate(compiled, args_fn, n_items, iters=20, warm=1):
-    """items/sec of ``compiled`` over chained iterations + final fetch."""
+    """items/sec of a callable over chained iterations + final fetch
+    (jitted fn or AOT executable; the warm call compiles if needed)."""
     out = None
     for _ in range(warm):
         out = compiled(*args_fn(out))
@@ -162,10 +197,10 @@ def sec_fused_forward(ctx):
     raw_dev = jax.device_put(ds.raw_batch(list(range(BATCH))))
     ctx["raw_dev"] = raw_dev
     pipe = make_fused_infer_pipe(ctx["cfg"], ctx["model"], ctx["variables"])
-    compiled, fwd_flops = _aot(pipe, raw_dev, jnp.zeros(()))
-    ctx["pipe_b256"] = compiled
+    ctx["pipe_b256"] = pipe
+    fwd_flops = _flops_cached(pipe, raw_dev, jnp.zeros(()))
 
-    rate = _rate(compiled,
+    rate = _rate(pipe,
                  lambda out: (raw_dev, jnp.zeros(()) if out is None else out),
                  BATCH)
     ctx["resident"] = rate
@@ -213,8 +248,8 @@ def sec_model_forward(ctx):
         out = model.apply(variables, inp, *margs, train=False)
         return jnp.sum(out.coord_xyz_rel_normed)
 
-    compiled, model_flops = _aot(fwd, inp0, jnp.zeros(()))
-    rate = _rate(compiled,
+    model_flops = _flops_cached(fwd, inp0, jnp.zeros(()))
+    rate = _rate(fwd,
                  lambda out: (inp0, jnp.zeros(()) if out is None else out),
                  BATCH)
     return {"mfu_model_forward":
@@ -339,9 +374,8 @@ def sec_b1_latency(ctx):
     flagship forward, p50 over individual (chained) iterations."""
     ds = ctx["ds"]
     raw = jax.device_put(ds.raw_batch([0]))
-    pipe1 = make_fused_infer_pipe(ctx["cfg"], ctx["model"],
-                                  ctx["variables"])
-    compiled, _ = _aot(pipe1, raw, jnp.zeros(()))
+    compiled = make_fused_infer_pipe(ctx["cfg"], ctx["model"],
+                                     ctx["variables"])
 
     carry = compiled(raw, jnp.zeros(()))
     _sync(carry)
@@ -420,8 +454,7 @@ def sec_interhand(ctx):
                           sample["keypoint_xyz_root"], train=False)
         return jnp.sum(out.coord_xyz_rel_normed)
 
-    compiled, _ = _aot(pipe, raw, jnp.zeros(()))
-    rate = _rate(compiled,
+    rate = _rate(pipe,
                  lambda out: (raw, jnp.zeros(()) if out is None else out),
                  BATCH)
     return {
@@ -443,15 +476,17 @@ def _make_ddim_sampler(cfg, B):
         sampler_unroll=cfg.sampler_unroll)
     feat = jnp.zeros((B, cfg.condition_feat_dim), jnp.float32)
     x0 = jnp.zeros((B, 1, cfg.keypoint_num * 3), jnp.float32)
-    variables = dje.init({"params": jax.random.PRNGKey(0)}, x0, feat,
-                         jax.random.PRNGKey(1))
+    # jit the init: eager flax init dispatches hundreds of tiny ops,
+    # each paying the tunnel round trip (~220 s measured for this
+    # module; one jitted+cached program is seconds)
+    variables = jax.jit(dje.init)({"params": jax.random.PRNGKey(0)}, x0,
+                                  feat, jax.random.PRNGKey(1))
 
     @jax.jit
     def sample(rng):
         return dje.apply(variables, feat, rng, method=dje.sample)
 
-    compiled, _ = _aot(sample, jax.random.PRNGKey(2))
-    return compiled
+    return sample
 
 
 def _ddim_p50(compiled, iters):
@@ -521,15 +556,15 @@ def bench_train_step(cfg, model, batch_size: int | None = None,
                                      pp_kwargs)
     rng = jax.random.PRNGKey(1)
 
-    # ONE AOT compile serves both the flops count and the timing loop.
+    # flops BEFORE the first dispatch (which donates the state buffers).
     # XLA cost_analysis counts a lax.scan body ONCE, not x trip count
     # (verified: the k-step program's counted flops equal the k=1
     # program's to 3 decimals for k in {2,4}), and the multi-step scan
     # body IS one full train step -- so the counted flops are already
     # per-step for every k.
-    compiled, train_flops = _aot(step, state, raw, rng)
+    train_flops = _flops_cached(step, state, raw, rng)
 
-    state, m = compiled(state, raw, rng)
+    state, m = step(state, raw, rng)
     _sync(m["loss"])
     # 3 windows of 10 dispatches, best window: a single dispatch stall
     # through the tunnel distorts a lone 1-second window by >10%
@@ -537,7 +572,7 @@ def bench_train_step(cfg, model, batch_size: int | None = None,
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, m = compiled(state, raw, rng)   # state chains iterations
+            state, m = step(state, raw, rng)       # state chains iterations
         _sync(m["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
     return B * k * iters / best_dt, train_flops
@@ -591,6 +626,21 @@ def main():
     global _DEADLINE
     budget = float(os.environ.get("HPT_BENCH_BUDGET_S", "1500"))
     _DEADLINE = time.monotonic() + budget
+    # persistent XLA compilation cache (same mechanism as the Worker's
+    # Config.compilation_cache_dir): a later bench run on this machine
+    # reuses every compiled program (verified to work through the axon
+    # remote-compile backend), so compile cost -- the thing that killed
+    # BENCH_r04 -- is paid at most once per program per machine.
+    # Timing loops never include compile time either way.
+    cache_dir = os.environ.get("HPT_BENCH_CACHE", "/tmp/hpt_xla_cache")
+    if cache_dir:
+        try:
+            from jax.experimental.compilation_cache import (
+                compilation_cache as cc)
+            cc.set_cache_dir(cache_dir)
+        except Exception as e:
+            print(f"[bench] compilation cache unavailable: {e!r}",
+                  file=sys.stderr, flush=True)
     _wait_for_devices()
 
     results = {
@@ -631,7 +681,7 @@ def main():
     # a b256 eager init would waste a minute of the budget off-TPU
     warm = fake_sample_batch(8, cfg.crop_size, cfg.input_channels, seed=0)
     inp = model_input(warm, cfg.input_channels)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, inp,
         warm["camera_intrinsic_matrix"], warm["keypoint_scale"],
         warm["keypoint_xyz_root"], train=False)

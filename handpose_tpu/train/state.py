@@ -42,9 +42,17 @@ def make_optimizer(base_lr: float = 1e-4, eta_min: float = 1e-5,
 
 def create_train_state(model, cfg, sample_input_args, rng,
                        steps_per_epoch: int = 1) -> TrainState:
-    """Initialise parameters + optimizer for a zoo model."""
+    """Initialise parameters + optimizer for a zoo model.
+
+    The init is jitted: eager flax init dispatches each initializer op
+    separately, and on a remote/tunneled device every one of those tiny
+    dispatches pays the full round trip (measured minutes for the
+    diffusion family; one compiled program is seconds and lands in the
+    persistent compilation cache when enabled).
+    """
     rngs = {"params": rng, "diffusion": jax.random.fold_in(rng, 1)}
-    variables = model.init(rngs, *sample_input_args, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rngs, *sample_input_args, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
     tx = make_optimizer(cfg.lr, cfg.lr_min, cfg.max_epoch, steps_per_epoch)
